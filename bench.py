@@ -1,0 +1,124 @@
+"""Benchmark harness: KITTI-scale ZNCC cost volume on one chip.
+
+Workload = BASELINE.json config 3: a full-resolution KITTI stereo pair
+(1242×375) with 192 disparities, banded cost volume ``[375, 1242, 193]``,
+kernel_size 15 — the production configuration of the framework.  The
+reference publishes no numbers (BASELINE.md), so the comparison point is
+the derived speed-of-light bound: the banded volume is ~0.346 GB of
+mandatory HBM writes per frame, giving an upper bound of
+``HBM_bandwidth / bytes_per_frame`` frames/s; ``vs_baseline`` reports the
+measured fraction of that bound (1.0 == HBM-bandwidth-bound, i.e.
+speed of light).
+
+Timing uses ``jax.block_until_ready`` (the reference's Timer never
+synchronizes the device and therefore measured launch overhead only —
+reference: custma/utils.py + examples/verify.py:65-68).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Extra detail (bwd timing, device, bound) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custereomatching_tpu import StereoConfig
+from custereomatching_tpu.models import StereoMatcher
+
+H, W, D, K = 375, 1242, 192, 15
+
+# Peak HBM bandwidth (bytes/s) by device kind, for the speed-of-light
+# denominator.  Unknown kinds fall back to v5e.
+_HBM_BW = {
+    "TPU v4": 1.2e12,
+    "TPU v5 lite": 8.19e11,   # v5e
+    "TPU v5": 2.765e12,       # v5p
+    "TPU v6 lite": 1.64e12,   # v6e / Trillium
+}
+
+
+def _device_bandwidth() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, bw in _HBM_BW.items():
+        if kind.startswith(name):
+            return bw
+    return _HBM_BW["TPU v5 lite"]
+
+
+def _readback(x) -> float:
+    """Force completion by reading one element back to the host.
+
+    ``block_until_ready`` alone is not trusted here: on relayed/async
+    platforms it can return before execution finishes; a host readback of
+    the result cannot.
+    """
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(leaf.reshape(-1)[0])
+
+
+def _time(fn, *args, iters: int = 40, warmup: int = 3) -> float:
+    """Seconds per call.  Dispatches ``iters`` calls and forces one
+    readback at the end — device execution is in-order, so the readback
+    of the last result fences all of them; per-call overhead of the host
+    roundtrip is amortized away."""
+    for _ in range(warmup):
+        _readback(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _readback(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    camera = jnp.asarray(rng.random((H, W), dtype=np.float32))
+    projector = jnp.asarray(rng.random((H, W), dtype=np.float32))
+
+    model = StereoMatcher(StereoConfig(kernel_size=K, num_disparities=D))
+    fwd = jax.jit(model.cost_volume_single)
+
+    def fwd_bwd(cam, proj):
+        # All-ones cotangent, the reference's backward protocol
+        # (examples/verify.py:67-68).
+        def loss(c):
+            return jnp.sum(model.cost_volume_single(c, proj))
+        return jax.grad(loss)(cam)
+
+    fwd_bwd = jax.jit(fwd_bwd)
+
+    t_fwd = _time(fwd, camera, projector)
+    t_fwdbwd = _time(fwd_bwd, camera, projector)
+
+    volume_bytes = H * W * (D + 1) * 4
+    image_bytes = 2 * H * W * 4
+    sol_fps = _device_bandwidth() / (volume_bytes + image_bytes)
+    fps = 1.0 / t_fwd
+
+    kind = jax.devices()[0].device_kind
+    print(
+        f"[bench] device={kind!r} kitti {H}x{W} D={D} k={K}: "
+        f"fwd {t_fwd*1e3:.2f} ms ({fps:.1f} fps), "
+        f"fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "
+        f"speed-of-light {sol_fps:.1f} fps "
+        f"(HBM-write bound, {volume_bytes/1e9:.3f} GB/frame)",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "kitti_zncc_fwd_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / sol_fps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,13 @@ extensions (banded volumes, disparity head, sharded pipeline).
 """
 
 from custereomatching_tpu.config import MeshConfig, StereoConfig
+from custereomatching_tpu.models import (
+    StereoMatcher,
+    StereoOutput,
+    TrainState,
+    make_train_step,
+    optimize_camera,
+)
 from custereomatching_tpu.ops import (
     DisparityResult,
     disparity_to_depth,
@@ -18,6 +25,12 @@ from custereomatching_tpu.ops import (
     soft_argmax,
     stereo_matching,
     stereo_matching_with_proj_grad,
+)
+from custereomatching_tpu.parallel import (
+    halo_exchange,
+    make_mesh,
+    shard_batch,
+    sharded_cost_volume,
 )
 from custereomatching_tpu.utils import Timer, TimerError, benchmark
 from custereomatching_tpu.version import __version__

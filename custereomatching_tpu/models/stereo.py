@@ -1,0 +1,110 @@
+"""Flagship model: the end-to-end structured-light stereo matcher.
+
+In the reference the "model" only exists as example-script glue — cost
+volume from the CUDA op plus a commented-out disparity pipeline
+(reference: examples/verify.py:65-74, examples/test.py:71-86).  Here it
+is a first-class, batched, jit/shard-friendly model object: image pair →
+ZNCC cost volume → confidence mask → hard + soft disparity → optional
+metric depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from custereomatching_tpu.config import StereoConfig
+from custereomatching_tpu.ops.disparity import DisparityResult, extract_disparity
+from custereomatching_tpu.ops.zncc import _stereo_matching
+from custereomatching_tpu.parallel.sharded import sharded_cost_volume
+
+
+class StereoOutput(NamedTuple):
+    """Batched model outputs.
+
+    Attributes:
+      cost_volume: ``[B, H, W, L]`` ZNCC correlation volume.
+      disparity: ``[B, H, W]`` hard disparity, confidence-masked.
+      soft_disparity: ``[B, H, W]`` differentiable sub-pixel disparity.
+      mask: ``[B, H, W]`` confidence mask.
+      confidence: ``[B, H, W]`` per-pixel max correlation.
+    """
+
+    cost_volume: jax.Array
+    disparity: jax.Array
+    soft_disparity: jax.Array
+    mask: jax.Array
+    confidence: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoMatcher:
+    """Batched differentiable stereo matcher.
+
+    A frozen-config callable (hashable, so it can be a static argument to
+    jit).  ``__call__`` runs the full pipeline on a batch; use
+    :meth:`cost_volume` / :meth:`disparity` for the stages separately, and
+    :meth:`sharded_cost_volume` for the mesh-parallel path.
+
+    The public-API superset of the reference: `custma.stereo_matching`
+    (reference: custma/stereo_matching_wrapper.py:35) covered only the
+    cost-volume stage for a single unbatched pair.
+    """
+
+    config: StereoConfig = StereoConfig()
+
+    # -- single pair ------------------------------------------------------
+    def cost_volume_single(self, camera: jax.Array,
+                           projector: jax.Array) -> jax.Array:
+        """ZNCC cost volume for one ``[H, W]`` pair."""
+        c = self.config
+        return _stereo_matching(camera, projector, c.num_disparities,
+                                c.kernel_size, c.epsilon, c.precision)
+
+    # -- batched ----------------------------------------------------------
+    def cost_volume(self, camera: jax.Array,
+                    projector: jax.Array) -> jax.Array:
+        """ZNCC cost volume for a ``[B, H, W]`` batch."""
+        return jax.vmap(self.cost_volume_single)(camera, projector)
+
+    def disparity(self, cost_volume: jax.Array) -> DisparityResult:
+        """Batched disparity head over a ``[B, H, W, L]`` volume."""
+        c = self.config
+        head = functools.partial(
+            extract_disparity, num_disparities=c.num_disparities,
+            threshold=c.cost_threshold, beta=c.softargmax_beta)
+        return jax.vmap(head)(cost_volume)
+
+    def __call__(self, camera: jax.Array,
+                 projector: jax.Array) -> StereoOutput:
+        """Full pipeline on a ``[B, H, W]`` batch."""
+        cv = self.cost_volume(camera, projector)
+        d = self.disparity(cv)
+        return StereoOutput(cost_volume=cv, disparity=d.disparity,
+                            soft_disparity=d.soft_disparity, mask=d.mask,
+                            confidence=d.confidence)
+
+    # -- mesh-sharded -----------------------------------------------------
+    def sharded_cost_volume(self, camera: jax.Array, projector: jax.Array,
+                            mesh: Mesh) -> jax.Array:
+        """Cost volume sharded over a ``(data, space)`` mesh."""
+        return sharded_cost_volume(camera, projector, self.config, mesh)
+
+    def sharded_apply(self, camera: jax.Array, projector: jax.Array,
+                      mesh: Mesh) -> StereoOutput:
+        """Full pipeline with the volume sharded over ``mesh``.
+
+        The disparity head is elementwise over the sharded axes (its
+        reductions run along the unsharded disparity axis), so it needs no
+        extra collectives — XLA keeps everything on-shard.
+        """
+        cv = self.sharded_cost_volume(camera, projector, mesh)
+        d = self.disparity(cv)
+        return StereoOutput(cost_volume=cv, disparity=d.disparity,
+                            soft_disparity=d.soft_disparity, mask=d.mask,
+                            confidence=d.confidence)

@@ -73,13 +73,18 @@ def box2d(x: jax.Array, k: int) -> jax.Array:
     Works on [H, W] and [H, W, ...] inputs (window is 1 on trailing axes).
     """
     p = k // 2
-    window = (k, k) + (1,) * (x.ndim - 2)
     strides = (1,) * x.ndim
-    padding = [(p, p), (p, p)] + [(0, 0)] * (x.ndim - 2)
+    # Separable: k×1 rows pass then 1×k cols pass — O(2k) adds per element
+    # instead of O(k²) for the fused window (k=15: 30 vs 225 taps).
     # NB: the init value must be the literal scalar 0 so XLA/JAX recognize
     # the add-monoid (differentiable reduce-window-sum); an array init
     # silently loses reverse-mode support.
-    return lax.reduce_window(x, 0.0, lax.add, window, strides, padding)
+    win_r = (k,) + (1,) * (x.ndim - 1)
+    pad_r = [(p, p)] + [(0, 0)] * (x.ndim - 1)
+    x = lax.reduce_window(x, 0.0, lax.add, win_r, strides, pad_r)
+    win_c = (1, k) + (1,) * (x.ndim - 2)
+    pad_c = [(0, 0), (p, p)] + [(0, 0)] * (x.ndim - 2)
+    return lax.reduce_window(x, 0.0, lax.add, win_c, strides, pad_c)
 
 
 def box_rows(x: jax.Array, k: int) -> jax.Array:

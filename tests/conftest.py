@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Persistent compilation cache: repeated test runs skip XLA recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+# Some environments pre-import jax at interpreter startup (sitecustomize)
+# and force a hardware platform via jax.config, which overrides the env
+# var above.  Re-pin the platform through the config as well — backends
+# have not initialized yet at conftest-import time, so this still wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
