@@ -84,6 +84,7 @@ def main() -> None:
     projector = jnp.asarray(rng.random((H, W), dtype=np.float32))
 
     model = StereoMatcher(StereoConfig(kernel_size=K, num_disparities=D))
+    backend = model.config.resolved_backend()
     fwd = jax.jit(model.cost_volume_single)
 
     def fwd_bwd(cam, proj):
@@ -105,7 +106,7 @@ def main() -> None:
 
     kind = jax.devices()[0].device_kind
     print(
-        f"[bench] device={kind!r} kitti {H}x{W} D={D} k={K}: "
+        f"[bench] device={kind!r} backend={backend} kitti {H}x{W} D={D} k={K}: "
         f"fwd {t_fwd*1e3:.2f} ms ({fps:.1f} fps), "
         f"fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "
         f"speed-of-light {sol_fps:.1f} fps "

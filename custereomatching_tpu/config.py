@@ -41,6 +41,12 @@ class StereoConfig:
         camera-only is therefore the parity default.
       precision: "highest" forces fp32 MXU accumulation for parity with the
         reference's fp32 CUDA accumulators; "default" permits bf16 passes.
+      backend: which forward implementation the model layer uses.
+        "pallas" — the hand-written TPU kernel (banded mode only);
+        "xla" — the fused XLA moments formulation;
+        "pallas_interpret" — the kernel under the Pallas interpreter
+        (CPU testing / sanitizer mode, survey §5.2);
+        "auto" — pallas on TPU in banded mode, xla otherwise.
     """
 
     kernel_size: int = 15
@@ -50,6 +56,7 @@ class StereoConfig:
     epsilon: float = 1e-8
     grad_projector: bool = False
     precision: str = "highest"
+    backend: str = "auto"
 
     def __post_init__(self):
         if self.kernel_size < 1 or self.kernel_size % 2 != 1:
@@ -60,6 +67,22 @@ class StereoConfig:
                 f"num_disparities must be None or >= 0, got {self.num_disparities}")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if self.backend not in ("auto", "xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    def resolved_backend(self) -> str:
+        """Resolve "auto" to a concrete backend for the current platform."""
+        if self.backend != "auto":
+            return self.backend
+        if self.num_disparities is None:
+            return "xla"  # all-pairs parity mode is MXU-structured XLA
+        import jax  # local: config must stay importable without device init
+
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            return "xla"
+        return "pallas" if platform == "tpu" else "xla"
 
     @property
     def pad(self) -> int:

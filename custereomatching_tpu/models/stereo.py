@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 
 from custereomatching_tpu.config import StereoConfig
 from custereomatching_tpu.ops.disparity import DisparityResult, extract_disparity
+from custereomatching_tpu.ops.pallas_zncc import stereo_matching_pallas
 from custereomatching_tpu.ops.zncc import _stereo_matching
 from custereomatching_tpu.parallel.sharded import sharded_cost_volume
 
@@ -63,13 +64,32 @@ class StereoMatcher:
                            projector: jax.Array) -> jax.Array:
         """ZNCC cost volume for one ``[H, W]`` pair."""
         c = self.config
+        backend = c.resolved_backend()
+        if backend.startswith("pallas"):
+            if c.num_disparities is None:
+                raise ValueError(
+                    "pallas backend supports banded mode only; use "
+                    "backend='xla' for the all-pairs parity volume")
+            return stereo_matching_pallas(
+                camera, projector, c.num_disparities, c.kernel_size,
+                c.epsilon, backend == "pallas_interpret")
         return _stereo_matching(camera, projector, c.num_disparities,
                                 c.kernel_size, c.epsilon, c.precision)
 
     # -- batched ----------------------------------------------------------
     def cost_volume(self, camera: jax.Array,
                     projector: jax.Array) -> jax.Array:
-        """ZNCC cost volume for a ``[B, H, W]`` batch."""
+        """ZNCC cost volume for a ``[B, H, W]`` batch.
+
+        The Pallas backend runs frames through ``lax.map`` (each frame's
+        kernel already saturates the chip; mapping avoids relying on a
+        batching rule for the hand-rolled DMA kernel); the XLA backend
+        vmaps.
+        """
+        if self.config.resolved_backend().startswith("pallas"):
+            return jax.lax.map(
+                lambda cp: self.cost_volume_single(cp[0], cp[1]),
+                (camera, projector))
         return jax.vmap(self.cost_volume_single)(camera, projector)
 
     def disparity(self, cost_volume: jax.Array) -> DisparityResult:

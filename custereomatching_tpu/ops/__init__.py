@@ -8,6 +8,11 @@ from custereomatching_tpu.ops.disparity import (
     extract_disparity,
     soft_argmax,
 )
+from custereomatching_tpu.ops.pallas_zncc import (
+    pallas_cost_volume_banded,
+    pallas_cost_volume_banded_hdw,
+    stereo_matching_pallas,
+)
 from custereomatching_tpu.ops.zncc import (
     EPSILON,
     box2d,
@@ -23,6 +28,9 @@ __all__ = [
     "soft_argmax",
     "EPSILON",
     "box2d",
+    "pallas_cost_volume_banded",
+    "pallas_cost_volume_banded_hdw",
     "stereo_matching",
+    "stereo_matching_pallas",
     "stereo_matching_with_proj_grad",
 ]

@@ -1,0 +1,354 @@
+"""Pallas TPU kernel for the banded ZNCC stereo cost volume.
+
+This is the speed-of-light production path for the framework's hot op —
+the TPU-native replacement for the reference's CUDA
+``forward_cost_volume_kernel`` (reference:
+custma/src/stereo_matching_kernel.cu:17-72).  The redesign, per survey
+§7.4:
+
+* The reference assigns one CUDA thread per ``(h, w, d)`` output and
+  re-reads the k×k window twice from global memory (≈450 uncached reads
+  per element).  Here a grid step owns an ``[HB, DT, W]`` output tile;
+  the camera/projector **row bands (with their k//2-row halo) are DMA'd
+  into VMEM once per row tile** and reused across all W·D outputs they
+  touch, so HBM traffic ≈ 1 image read + 1 volume write (the
+  HBM-bandwidth bound).
+* Window sums use the expanded-moments identity with **separable k-tap
+  accumulation** (rows pass then columns pass): O(2k) adds per output
+  instead of O(k²) reads.
+* Per-window means/moments of each image are computed **once per row
+  band** into VMEM scratch (at disparity-tile 0) and reused; only the
+  cross term is per-disparity work.
+* TPUs cannot vector-load at dynamic unaligned lane offsets, so the
+  per-disparity projector shift is realized with **lane rolls**: one
+  dynamic roll aligns the band to the tile's first disparity, then each
+  loop iteration rolls by a single lane — every slice in the kernel has
+  a static offset.  The circular wrap-in region provably never reaches
+  the consumed columns (margins sized accordingly below).
+* Output is produced in ``[H, D+1, W]`` ("HDW") layout so every write is
+  a full lane vector; the parity wrapper transposes to the reference's
+  ``[H, W, D+1]`` (reference layout: kernel.cu:200-201, intended banded
+  variant kernel.cu:30-33,197).
+
+Numerical contract is identical to :mod:`.zncc` / the reference: windows
+zero-padded, means divided by k² including padding (kernel.cu:6-12,53-54),
+``cost = (exy + eps)/sqrt(ex2·ey2 + eps)``, eps=1e-8 (kernel.cu:4,71),
+fp32 accumulation.
+
+Column coordinate system (one shared left margin ``L = Lp + p``):
+  * camera image lives at columns ``[p, p+W)`` of a ``wcc``-wide band;
+  * projector image lives at columns ``[L, L+W)`` of a ``pw``-wide band,
+    so the pixel ``d`` columns left of camera column ``c`` sits at
+    projector-band column ``c + Lp - d`` — after rolling the band left
+    by ``Lp - d``, simply at column ``c``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPSILON = 1e-8  # reference: custma/src/stereo_matching_kernel.cu:4
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _win_sum(x: jax.Array, k: int, axis: int, out_len: int) -> jax.Array:
+    """k-tap windowed sum along ``axis``: ``out[i] = Σ_{t<k} x[i+t]``.
+
+    Binary-tree evaluation — ⌈log₂k⌉ doubling adds plus one add per set
+    bit of k (7 ops for k=15 instead of 14 linear adds), which matters
+    doubly on TPU because every shifted slice is a lane/sublane relayout.
+    Requires ``x.shape[axis] >= out_len + k - 1``.
+    """
+    sums = {1: x}
+    span = 1
+    while 2 * span <= k:
+        prev = sums[span]
+        ln = prev.shape[axis] - span
+        sums[2 * span] = (lax.slice_in_dim(prev, 0, ln, axis=axis)
+                          + lax.slice_in_dim(prev, span, span + ln, axis=axis))
+        span *= 2
+    result = None
+    off = 0
+    for span in sorted(sums, reverse=True):
+        if k & span:
+            part = lax.slice_in_dim(sums[span], off, off + out_len, axis=axis)
+            result = part if result is None else result + part
+            off += span
+    return result
+
+
+def _row_window_matrix(k: int, hb: int, rows: int, dtype) -> jax.Array:
+    """``[hb, rows]`` 0/1 matrix A with ``A[r, s] = 1 ⟺ r <= s < r + k``.
+
+    ``A @ band`` is the k-tap windowed sum over the sublane (row) axis —
+    evaluated on the MXU, which runs concurrently with the VPU doing the
+    lane (column) pass, instead of spending VPU sublane-shift relayouts.
+    """
+    r_idx = lax.broadcasted_iota(jnp.int32, (hb, rows), 0)
+    s_idx = lax.broadcasted_iota(jnp.int32, (hb, rows), 1)
+    return jnp.logical_and(s_idx >= r_idx, s_idx < r_idx + k).astype(dtype)
+
+
+def _box_from_band(band: jax.Array, k: int, hb: int, out_w: int,
+                   row_mat: Optional[jax.Array] = None) -> jax.Array:
+    """Separable k×k window sum of a halo'd row band.
+
+    ``band`` is ``[>= hb + k - 1, >= out_w + k - 1]``; returns
+    ``[hb, out_w]`` where entry (r, w) sums the k×k window whose top-left
+    corner is (r, w) — i.e. the window *centered* at band coordinates
+    (r + k//2, w + k//2).  With ``row_mat`` the rows pass runs on the MXU.
+    """
+    del row_mat  # MXU rows-pass measured slower (tiny M, f32 multi-pass)
+    return _win_sum(_win_sum(band, k, 0, hb), k, 1, out_w)
+
+
+def _banded_kernel(cam_hbm, proj_hbm, out_ref,
+                   cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
+                   sems,
+                   *, D: int, k: int, eps: float, hb: int, dt: int,
+                   wo: int, wcc: int, pw: int, syw: int, lp: int):
+    """One grid step = disparities [d_idx·dt, d_idx·dt + dt) of an
+    ``hb``-row tile.  Disparity is the fastest grid axis; the row band is
+    DMA'd and its window statistics computed only at d_idx == 0."""
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    p = k // 2
+    band_rows = _round_up(hb + 2 * p, 8)  # DMA slices need 8-row alignment
+    inv_k2 = 1.0 / float(k * k)
+
+    row_mat = _row_window_matrix(k, hb, band_rows, cam_vmem.dtype)
+
+    @pl.when(d_idx == 0)
+    def _load_and_stats():
+        r0 = h_idx * hb  # hb is a multiple of 8 → aligned DMA offset
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
+        cam_dma.start()
+        proj_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
+
+        cam = cam_vmem[:, :]
+        sx = _box_from_band(cam, k, hb, wo, row_mat)
+        sx_scr[:, :] = sx * inv_k2  # store μx-scaled: saves a mul per d
+        ex2_scr[:, :] = _box_from_band(cam * cam, k, hb, wo, row_mat) \
+            - sx * sx * inv_k2
+
+        proj = proj_vmem[:, :]
+        sy = _box_from_band(proj, k, hb, syw, row_mat)
+        sy_scr[:, :] = sy
+        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hb, syw, row_mat)
+                         - sy * sy * inv_k2)
+
+    band = cam_vmem[:, :]
+    mux = sx_scr[:, :]          # μx · 1 (already divided by k²)
+    ex2 = ex2_scr[:, :]
+
+    # Align the projector band and its statistics to this tile's LAST
+    # disparity (d_last = d_base + dt - 1) with a single dynamic roll;
+    # every disparity in the tile is then a *static* lane slice of the
+    # rolled band — the loop below is a python loop, so Mosaic sees only
+    # static offsets and needs no cross-iteration carries.
+    d_base = d_idx * dt
+    shift = lp - (d_base + dt - 1)  # roll left by this amount
+    psh = pltpu.roll(proj_vmem[:, :], pw - shift, axis=1)
+    syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
+    ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
+
+    for j in range(dt):
+        # disparity d = d_base + j lives at static column offset dt-1-j.
+        c0 = dt - 1 - j
+        prod = band * psh[:, c0:c0 + wcc]
+        sxy = _box_from_band(prod, k, hb, wo, row_mat)
+        exy = sxy - mux * syb[:, c0:c0 + wo]
+        r = lax.rsqrt(ex2 * ey2b[:, c0:c0 + wo] + eps)
+        out_ref[:, j, :] = (exy + eps) * r
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def pallas_cost_volume_banded_hdw(
+    camera: jax.Array,
+    projector: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    block_rows: int = 24,
+    block_disparities: int = 40,
+    interpret: bool = False,
+    padded: bool = False,
+) -> jax.Array:
+    """Banded ZNCC cost volume in ``[H, D+1, W]`` (HDW) layout.
+
+    The fused fast path: downstream heads should reduce over axis 1.
+    Use :func:`pallas_cost_volume_banded` for the reference-parity
+    ``[H, W, D+1]`` layout.
+
+    Args:
+      camera: ``[H, W]`` float32 camera image.
+      projector: ``[H, W]`` float32 projector image.
+      num_disparities: band size D (volume has D+1 disparity planes).
+      kernel_size: odd correlation window side.
+      epsilon: numerical epsilon (1e-8 for reference parity).
+      block_rows: output rows per grid step (multiple of 8 for aligned
+        DMA).
+      block_disparities: max disparity planes per grid step (VMEM-bound:
+        the double-buffered output tile is
+        ``2 · block_rows · dt · round_up(W,128) · 4`` bytes).
+      interpret: run the kernel in interpreter mode (CPU testing).
+
+    Returns:
+      ``[H, D+1, W]`` float32 cost volume.
+    """
+    if camera.ndim != 2 or camera.shape != projector.shape:
+        raise ValueError(
+            f"expected matching [H, W] images, got {camera.shape} vs "
+            f"{projector.shape}")
+    H, W = camera.shape
+    D = int(num_disparities)
+    k = int(kernel_size)
+    p = k // 2
+    hb = _round_up(int(block_rows), 8)
+
+    # Split D+1 planes into n_d tiles of dt (dt a multiple of 8 so the
+    # output block shape stays sublane-aligned).
+    n_d = -(-(D + 1) // int(block_disparities))
+    dt = _round_up(-(-(D + 1) // n_d), 8)
+
+    wo = _round_up(max(W, 128), 128)        # output lane width
+    wcc = _round_up(wo + 2 * p, 128)        # camera band width (col halo)
+    # Disparity reach, lane-aligned; also covers the padded d range
+    # [D+1, n_d·dt) so clamp-free rolls stay within the zero margin.
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp                          # projector-stats width
+    pw = _round_up(syw + 2 * p, 128)        # projector band width
+
+    n_h = -(-H // hb)
+    h_pad = n_h * hb
+    band_rows = _round_up(hb + 2 * p, 8)
+    # Every DMA reads band_rows rows starting at h_idx*hb.
+    src_rows = h_pad + band_rows
+
+    cam_p = jnp.zeros((src_rows, wcc), camera.dtype)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (p, p))
+    proj_p = jnp.zeros((src_rows, pw), projector.dtype)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (p, lp + p))
+
+    kernel = functools.partial(
+        _banded_kernel, D=D, k=k, eps=float(epsilon),
+        hb=hb, dt=dt, wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_h, n_d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # camera band source (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # projector band source
+        ],
+        out_specs=pl.BlockSpec(
+            (hb, dt, wo), lambda h, d: (h, d, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad, n_d * dt, wo), camera.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, wcc), camera.dtype),   # camera band
+            pltpu.VMEM((band_rows, pw), camera.dtype),    # projector band
+            pltpu.VMEM((hb, wo), camera.dtype),           # sx
+            pltpu.VMEM((hb, wo), camera.dtype),           # ex2
+            pltpu.VMEM((hb, syw), camera.dtype),          # sy
+            pltpu.VMEM((hb, syw), camera.dtype),          # ey2
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * k * H * W * (D + 1),
+            bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
+            transcendentals=H * W * (D + 1),
+        ),
+        interpret=interpret,
+    )(cam_p, proj_p)
+    if padded:
+        # Skip the (HBM-traffic-costly) slice copy; callers that fuse the
+        # disparity head can consume the padded volume directly.  Padded
+        # rows/planes/columns contain garbage and must be masked off.
+        return out
+    return out[:H, :D + 1, :W]
+
+
+def pallas_cost_volume_banded(
+    camera: jax.Array,
+    projector: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    **kwargs,
+) -> jax.Array:
+    """Banded ZNCC cost volume in the reference-parity ``[H, W, D+1]``
+    layout (a transpose of the HDW fast path)."""
+    hdw = pallas_cost_volume_banded_hdw(
+        camera, projector, num_disparities, kernel_size, epsilon, **kwargs)
+    return jnp.swapaxes(hdw, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable public op (Pallas forward, analytic closed-form backward)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _pallas_stereo(camera, projector, num_disparities, kernel_size,
+                   epsilon, interpret):
+    return pallas_cost_volume_banded(
+        camera, projector, num_disparities, kernel_size, epsilon,
+        interpret=interpret)
+
+
+def _pallas_stereo_fwd(camera, projector, num_disparities, kernel_size,
+                       epsilon, interpret):
+    cost = _pallas_stereo(camera, projector, num_disparities, kernel_size,
+                          epsilon, interpret)
+    # Remat residuals: only the input images, like the reference's
+    # ctx.save_for_backward (custma/stereo_matching_wrapper.py:16).
+    return cost, (camera, projector)
+
+
+def _pallas_stereo_bwd(num_disparities, kernel_size, epsilon, interpret,
+                       residuals, g):
+    from custereomatching_tpu.ops.zncc import _camera_grad_banded
+    camera, projector = residuals
+    cam_grad = _camera_grad_banded(camera, projector, g, num_disparities,
+                                   kernel_size, epsilon)
+    return cam_grad, jnp.zeros_like(projector)
+
+
+_pallas_stereo.defvjp(_pallas_stereo_fwd, _pallas_stereo_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def stereo_matching_pallas(
+    camera: jax.Array,
+    projector: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable banded ZNCC cost volume with the Pallas forward.
+
+    Drop-in for :func:`..zncc.stereo_matching` in banded mode: same
+    ``[H, W, D+1]`` output, same analytic camera gradient (the backward
+    runs the closed-form XLA VJP; projector gradient is a symbolic zero,
+    matching the reference's None, custma/stereo_matching_wrapper.py:33).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter — the
+    CPU-testing path (survey §5.2: the TPU analogue of a sanitizer build).
+    """
+    return _pallas_stereo(camera, projector, num_disparities, kernel_size,
+                          epsilon, interpret)
