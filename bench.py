@@ -85,6 +85,12 @@ def main() -> None:
 
     model = StereoMatcher(StereoConfig(kernel_size=K, num_disparities=D))
     backend = model.config.resolved_backend()
+
+    # Headline: the full fused pipeline (pair → disparity maps) — what a
+    # user of the reference's example pipeline actually runs per frame.
+    pipeline = jax.jit(
+        lambda c, p: model.disparity_maps(c[None], p[None]).soft_disparity)
+    # Volume op (reference-parity surface) forward and forward+backward.
     fwd = jax.jit(model.cost_volume_single)
 
     def fwd_bwd(cam, proj):
@@ -96,25 +102,31 @@ def main() -> None:
 
     fwd_bwd = jax.jit(fwd_bwd)
 
+    t_pipe = _time(pipeline, camera, projector)
     t_fwd = _time(fwd, camera, projector)
     t_fwdbwd = _time(fwd_bwd, camera, projector)
 
     volume_bytes = H * W * (D + 1) * 4
     image_bytes = 2 * H * W * 4
     sol_fps = _device_bandwidth() / (volume_bytes + image_bytes)
-    fps = 1.0 / t_fwd
+    fps = 1.0 / t_pipe
 
     kind = jax.devices()[0].device_kind
     print(
         f"[bench] device={kind!r} backend={backend} kitti {H}x{W} D={D} k={K}: "
-        f"fwd {t_fwd*1e3:.2f} ms ({fps:.1f} fps), "
-        f"fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "
-        f"speed-of-light {sol_fps:.1f} fps "
-        f"(HBM-write bound, {volume_bytes/1e9:.3f} GB/frame)",
+        f"fused pipeline {t_pipe*1e3:.2f} ms ({fps:.1f} fps), "
+        f"volume fwd {t_fwd*1e3:.2f} ms ({1.0/t_fwd:.1f} fps), "
+        f"volume fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "
+        f"volume-write speed-of-light {sol_fps:.1f} fps "
+        f"({volume_bytes/1e9:.3f} GB/frame)",
         file=sys.stderr,
     )
+    # vs_baseline: fraction of the volume-write speed-of-light bound the
+    # *full pipeline* achieves (the fused kernel skips that write, so >1
+    # is possible in principle; the bound is the honest yardstick for the
+    # volume-materializing reference design).
     print(json.dumps({
-        "metric": "kitti_zncc_fwd_frames_per_s_per_chip",
+        "metric": "kitti_stereo_pipeline_frames_per_s_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / sol_fps, 4),

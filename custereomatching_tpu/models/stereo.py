@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 
 from custereomatching_tpu.config import StereoConfig
 from custereomatching_tpu.ops.disparity import DisparityResult, extract_disparity
+from custereomatching_tpu.ops.pallas_pipeline import PipelineMaps, pallas_stereo_pipeline
 from custereomatching_tpu.ops.pallas_zncc import stereo_matching_pallas
 from custereomatching_tpu.ops.zncc import _stereo_matching
 from custereomatching_tpu.parallel.sharded import sharded_cost_volume
@@ -108,6 +109,37 @@ class StereoMatcher:
         return StereoOutput(cost_volume=cv, disparity=d.disparity,
                             soft_disparity=d.soft_disparity, mask=d.mask,
                             confidence=d.confidence)
+
+    # -- fused inference path ----------------------------------------------
+    def disparity_maps(self, camera: jax.Array,
+                       projector: jax.Array) -> PipelineMaps:
+        """Batched ``[B, H, W]`` pair → disparity maps, volume-free.
+
+        On the Pallas backend this runs the fused kernel
+        (:func:`..ops.pallas_pipeline.pallas_stereo_pipeline`): the cost
+        volume never reaches HBM, collapsing per-frame memory traffic
+        from ~2·volume to ~6 maps.  Inference-only (not differentiable);
+        for training go through :meth:`cost_volume` + :meth:`disparity`.
+        """
+        c = self.config
+        backend = c.resolved_backend()
+        if backend.startswith("pallas"):
+            if c.num_disparities is None:
+                raise ValueError("fused pipeline requires banded mode")
+
+            interp = backend == "pallas_interpret"
+
+            def one(cp):
+                return pallas_stereo_pipeline(
+                    cp[0], cp[1], c.num_disparities, c.kernel_size,
+                    c.epsilon, c.softargmax_beta, c.cost_threshold,
+                    32, 40, interp)
+
+            return jax.lax.map(one, (camera, projector))
+        out = self(camera, projector)
+        return PipelineMaps(disparity=out.disparity,
+                            soft_disparity=out.soft_disparity,
+                            mask=out.mask, confidence=out.confidence)
 
     # -- mesh-sharded -----------------------------------------------------
     def sharded_cost_volume(self, camera: jax.Array, projector: jax.Array,

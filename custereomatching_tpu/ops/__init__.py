@@ -8,6 +8,10 @@ from custereomatching_tpu.ops.disparity import (
     extract_disparity,
     soft_argmax,
 )
+from custereomatching_tpu.ops.pallas_pipeline import (
+    PipelineMaps,
+    pallas_stereo_pipeline,
+)
 from custereomatching_tpu.ops.pallas_zncc import (
     pallas_cost_volume_banded,
     pallas_cost_volume_banded_hdw,
@@ -28,8 +32,10 @@ __all__ = [
     "soft_argmax",
     "EPSILON",
     "box2d",
+    "PipelineMaps",
     "pallas_cost_volume_banded",
     "pallas_cost_volume_banded_hdw",
+    "pallas_stereo_pipeline",
     "stereo_matching",
     "stereo_matching_pallas",
     "stereo_matching_with_proj_grad",

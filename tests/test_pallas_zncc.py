@@ -102,3 +102,50 @@ def test_model_pallas_interpret_backend():
 def test_auto_backend_on_cpu_is_xla():
     assert StereoConfig(num_disparities=8).resolved_backend() == "xla"
     assert StereoConfig().resolved_backend() == "xla"
+
+
+@pytest.mark.parametrize("shape", [
+    (24, 150, 10, 5, 8, 4),
+    (16, 100, 37, 7, 16, 16),
+])
+def test_fused_pipeline_matches_head(shape):
+    """Fused volume-free pipeline == golden volume + XLA disparity head."""
+    from custereomatching_tpu.ops.disparity import extract_disparity
+    from custereomatching_tpu.ops.pallas_pipeline import pallas_stereo_pipeline
+
+    H, W, D, K, hb, dtb = shape
+    rng = np.random.default_rng(7)
+    cam, proj = _pair(rng, H, W)
+    cv = zncc_cost_volume(cam, proj, D, K)
+    want = extract_disparity(cv, num_disparities=D, threshold=0.6, beta=50.0)
+    got = pallas_stereo_pipeline(cam, proj, D, K, 1e-8, 50.0, 0.6, hb, dtb,
+                                 True)
+    np.testing.assert_array_equal(np.asarray(got.disparity),
+                                  np.asarray(want.disparity))
+    np.testing.assert_array_equal(np.asarray(got.mask),
+                                  np.asarray(want.mask))
+    np.testing.assert_allclose(np.asarray(got.confidence),
+                               np.asarray(want.confidence),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.soft_disparity),
+                               np.asarray(want.soft_disparity),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_model_disparity_maps_backends_agree():
+    """model.disparity_maps: fused pallas path == XLA volume+head path."""
+    H, W, D, K = 16, 48, 6, 5
+    rng = np.random.default_rng(8)
+    cam = jnp.asarray(rng.random((2, H, W), dtype=np.float32))
+    proj = jnp.asarray(rng.random((2, H, W), dtype=np.float32))
+    got = StereoMatcher(StereoConfig(
+        kernel_size=K, num_disparities=D,
+        backend="pallas_interpret")).disparity_maps(cam, proj)
+    want = StereoMatcher(StereoConfig(
+        kernel_size=K, num_disparities=D,
+        backend="xla")).disparity_maps(cam, proj)
+    np.testing.assert_array_equal(np.asarray(got.disparity),
+                                  np.asarray(want.disparity))
+    np.testing.assert_allclose(np.asarray(got.soft_disparity),
+                               np.asarray(want.soft_disparity),
+                               rtol=1e-3, atol=1e-3)
