@@ -102,7 +102,19 @@ def main() -> None:
 
     fwd_bwd = jax.jit(fwd_bwd)
 
+    # Fused trainable step: the production training configuration.
+    target = jnp.zeros_like(camera)
+
+    def train_step(cam, proj, tgt):
+        def loss(c):
+            maps = model.trainable_disparity_maps(c[None], proj[None])
+            return jnp.mean((maps.soft_disparity[0] - tgt) ** 2)
+        return jax.value_and_grad(loss)(cam)
+
+    train_step = jax.jit(train_step)
+
     t_pipe = _time(pipeline, camera, projector)
+    t_train = _time(train_step, camera, projector, target)
     t_fwd = _time(fwd, camera, projector)
     t_fwdbwd = _time(fwd_bwd, camera, projector)
 
@@ -115,6 +127,7 @@ def main() -> None:
     print(
         f"[bench] device={kind!r} backend={backend} kitti {H}x{W} D={D} k={K}: "
         f"fused pipeline {t_pipe*1e3:.2f} ms ({fps:.1f} fps), "
+        f"fused train step {t_train*1e3:.2f} ms ({1.0/t_train:.1f} steps/s), "
         f"volume fwd {t_fwd*1e3:.2f} ms ({1.0/t_fwd:.1f} fps), "
         f"volume fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "
         f"volume-write speed-of-light {sol_fps:.1f} fps "

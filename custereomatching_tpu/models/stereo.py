@@ -20,7 +20,11 @@ from jax.sharding import Mesh
 
 from custereomatching_tpu.config import StereoConfig
 from custereomatching_tpu.ops.disparity import DisparityResult, extract_disparity
-from custereomatching_tpu.ops.pallas_pipeline import PipelineMaps, pallas_stereo_pipeline
+from custereomatching_tpu.ops.pallas_pipeline import (
+    PipelineMaps,
+    pallas_stereo_pipeline,
+    stereo_pipeline_trainable,
+)
 from custereomatching_tpu.ops.pallas_zncc import stereo_matching_pallas
 from custereomatching_tpu.ops.zncc import _stereo_matching
 from custereomatching_tpu.parallel.sharded import sharded_cost_volume
@@ -134,6 +138,34 @@ class StereoMatcher:
                     cp[0], cp[1], c.num_disparities, c.kernel_size,
                     c.epsilon, c.softargmax_beta, c.cost_threshold,
                     32, 40, interp)
+
+            return jax.lax.map(one, (camera, projector))
+        out = self(camera, projector)
+        return PipelineMaps(disparity=out.disparity,
+                            soft_disparity=out.soft_disparity,
+                            mask=out.mask, confidence=out.confidence)
+
+    def trainable_disparity_maps(self, camera: jax.Array,
+                                 projector: jax.Array) -> PipelineMaps:
+        """Differentiable batched ``[B, H, W]`` pair → disparity maps.
+
+        On the Pallas backend this is the fused trainable pipeline:
+        neither the cost volume nor its cotangent ever exists in HBM
+        (gradients flow through ``soft_disparity`` and ``confidence``;
+        camera-only, reference parity).  Elsewhere it is the volume op +
+        XLA head.
+        """
+        c = self.config
+        backend = c.resolved_backend()
+        if backend.startswith("pallas"):
+            if c.num_disparities is None:
+                raise ValueError("fused pipeline requires banded mode")
+            interp = backend == "pallas_interpret"
+
+            def one(cp):
+                return stereo_pipeline_trainable(
+                    cp[0], cp[1], c.num_disparities, c.kernel_size,
+                    c.epsilon, c.softargmax_beta, c.cost_threshold, interp)
 
             return jax.lax.map(one, (camera, projector))
         out = self(camera, projector)

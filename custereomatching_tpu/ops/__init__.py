@@ -6,16 +6,23 @@ from custereomatching_tpu.ops.disparity import (
     DisparityResult,
     disparity_to_depth,
     extract_disparity,
+    extract_disparity_hdw,
     soft_argmax,
+)
+from custereomatching_tpu.ops.pallas_zncc_bwd import (
+    pallas_camera_grad_banded,
+    pallas_camera_grad_banded_hdw,
 )
 from custereomatching_tpu.ops.pallas_pipeline import (
     PipelineMaps,
     pallas_stereo_pipeline,
+    stereo_pipeline_trainable,
 )
 from custereomatching_tpu.ops.pallas_zncc import (
     pallas_cost_volume_banded,
     pallas_cost_volume_banded_hdw,
     stereo_matching_pallas,
+    stereo_matching_pallas_hdw,
 )
 from custereomatching_tpu.ops.zncc import (
     EPSILON,
@@ -33,9 +40,14 @@ __all__ = [
     "EPSILON",
     "box2d",
     "PipelineMaps",
+    "extract_disparity_hdw",
+    "pallas_camera_grad_banded",
+    "pallas_camera_grad_banded_hdw",
     "pallas_cost_volume_banded",
     "pallas_cost_volume_banded_hdw",
     "pallas_stereo_pipeline",
+    "stereo_matching_pallas_hdw",
+    "stereo_pipeline_trainable",
     "stereo_matching",
     "stereo_matching_pallas",
     "stereo_matching_with_proj_grad",

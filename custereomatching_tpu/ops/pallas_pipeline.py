@@ -55,7 +55,7 @@ class PipelineMaps(NamedTuple):
 
 
 def _fused_kernel(cam_hbm, proj_hbm,
-                  hard_ref, soft_ref, mask_ref, conf_ref,
+                  am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
                   cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
                   m_scr, am_scr, s_scr, t_scr, sems,
                   *, D: int, k: int, eps: float, beta: float,
@@ -139,12 +139,13 @@ def _fused_kernel(cam_hbm, proj_hbm,
         mask = (conf > threshold).astype(conf.dtype)
         conf_ref[:, :] = conf
         mask_ref[:, :] = mask
-        hard_ref[:, :] = am_scr[:, :] * mask
+        am_ref[:, :] = am_scr[:, :]          # raw argmax (hard = am·mask)
         soft_ref[:, :] = (t_scr[:, :] / s_scr[:, :]) * mask
+        s_ref[:, :] = s_scr[:, :]            # softmax residuals for the VJP
+        t_ref[:, :] = t_scr[:, :]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def pallas_stereo_pipeline(
+def _pipeline_forward_full(
     camera: jax.Array,
     projector: jax.Array,
     num_disparities: int,
@@ -155,28 +156,10 @@ def pallas_stereo_pipeline(
     block_rows: int = 32,
     block_disparities: int = 40,
     interpret: bool = False,
-) -> PipelineMaps:
-    """Fused stereo pipeline: pair → disparity maps, no volume in HBM.
-
-    Produces exactly what the reference's example pipeline computes
-    (mask → argmax / soft-argmax → banded disparity; examples/test.py:71-86
-    with β and threshold from examples/verify.py:12-13), in one kernel.
-
-    Args:
-      camera: ``[H, W]`` float32 camera image.
-      projector: ``[H, W]`` float32 projector image.
-      num_disparities: band size D.
-      kernel_size: odd correlation window side.
-      epsilon: ZNCC epsilon (1e-8 parity).
-      beta: soft-argmax temperature (reference 50.0).
-      threshold: confidence threshold (reference 0.6).
-      block_rows: output rows per grid step (multiple of 8).
-      block_disparities: disparity planes per grid step.
-      interpret: Pallas interpreter mode (CPU testing).
-
-    Returns:
-      A :class:`PipelineMaps` of four ``[H, W]`` maps.
-    """
+):
+    """Run the fused kernel; returns the six raw PADDED ``[h_pad, wo]``
+    maps ``(am, soft, mask, conf, s, t)`` — s/t are the online-softmax
+    residuals the trainable VJP consumes."""
     if camera.ndim != 2 or camera.shape != projector.shape:
         raise ValueError(
             f"expected matching [H, W] images, got {camera.shape} vs "
@@ -214,15 +197,15 @@ def pallas_stereo_pipeline(
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
-    hard, soft, mask, conf = pl.pallas_call(
+    am, soft, mask, conf, s, t = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(map_spec, map_spec, map_spec, map_spec),
-        out_shape=(map_shape, map_shape, map_shape, map_shape),
+        out_specs=(map_spec,) * 6,
+        out_shape=(map_shape,) * 6,
         scratch_shapes=[
             pltpu.VMEM((band_rows, wcc), camera.dtype),   # camera band
             pltpu.VMEM((band_rows, pw), camera.dtype),    # projector band
@@ -243,5 +226,341 @@ def pallas_stereo_pipeline(
         ),
         interpret=interpret,
     )(cam_p, proj_p)
-    return PipelineMaps(disparity=hard[:H, :W], soft_disparity=soft[:H, :W],
+    return am, soft, mask, conf, s, t
+
+
+def _pipeline_forward(camera, projector, num_disparities, kernel_size,
+                      epsilon, beta, threshold, block_rows,
+                      block_disparities, interpret):
+    H, W = camera.shape
+    am, soft, mask, conf, _, _ = _pipeline_forward_full(
+        camera, projector, num_disparities, kernel_size, epsilon, beta,
+        threshold, block_rows, block_disparities, interpret)
+    hard = am[:H, :W] * mask[:H, :W]
+    return PipelineMaps(disparity=hard, soft_disparity=soft[:H, :W],
                         mask=mask[:H, :W], confidence=conf[:H, :W])
+
+
+pallas_stereo_pipeline = jax.jit(
+    _pipeline_forward, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+pallas_stereo_pipeline.__doc__ = """Fused stereo pipeline: pair → disparity maps, no volume in HBM.
+
+Produces exactly what the reference's example pipeline computes
+(mask → argmax / soft-argmax → banded disparity; examples/test.py:71-86
+with β and threshold from examples/verify.py:12-13), in one kernel.
+Inference-only; for training use :func:`stereo_pipeline_trainable`.
+
+Args:
+  camera: ``[H, W]`` float32 camera image.
+  projector: ``[H, W]`` float32 projector image.
+  num_disparities: band size D.
+  kernel_size: odd correlation window side.
+  epsilon: ZNCC epsilon (1e-8 parity).
+  beta: soft-argmax temperature (reference 50.0).
+  threshold: confidence threshold (reference 0.6).
+  block_rows: output rows per grid step (multiple of 8).
+  block_disparities: disparity planes per grid step.
+  interpret: Pallas interpreter mode (CPU testing).
+
+Returns:
+  A :class:`PipelineMaps` of four ``[H, W]`` maps.
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trainable fused pipeline: custom VJP with an in-kernel head cotangent
+# ---------------------------------------------------------------------------
+#
+# Differentiating the fused pipeline naively would require materializing the
+# cost-volume cotangent (∂loss/∂c[h,w,d]) — a ~0.5 GB array whose mere
+# existence costs more than the backward math (any XLA-side pad/transpose of
+# it measures ~4 ms on a v5e, and the XLA softmax-head VJP alone ~30 ms).
+# Instead the backward kernel below RECOMPUTES each cost plane c_d (it
+# already must, for the ZNCC gradient) and forms the head cotangent inline
+# from per-pixel residuals saved by the forward:
+#
+#     soft_out = mask · t/s,   conf = m
+#     ∂soft_out/∂c_d = mask · β · w_d · (d − t/s),  w_d = e^{β(c_d−m)}/s
+#     ∂conf/∂c_d     = 1[d = argmax]
+#     g_d = ĝ_soft·mask·β·w_d·(d − t/s) + ĝ_conf·1[d = am]
+#
+# (hard disparity and mask are piecewise-constant: zero gradient a.e.)
+# g_d then feeds the closed-form ZNCC camera VJP exactly as in
+# pallas_zncc_bwd, accumulating the D-reduced fields A1/B/GRMU.  Residuals
+# are SIX [H, W] maps (~2 MB each) instead of a volume.
+
+
+def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
+                      a1_ref, b_ref, grmu_ref,
+                      cam_vmem, proj_vmem, maps_vmem,
+                      sx_scr, ex2_scr, sy_scr, ey2_scr,
+                      a1_scr, b_scr, grmu_scr, sems,
+                      *, H: int, W: int, D: int, k: int, eps: float,
+                      beta: float, hb: int, dt: int,
+                      wo: int, woe: int, wcc: int, pw: int, syw: int,
+                      lp: int, maps_rows: int):
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    p = k // 2
+    hbe = hb + 2 * p
+    band_rows = _round_up(hbe + 2 * p, 8)
+    inv_k2 = 1.0 / float(k * k)
+
+    @pl.when(d_idx == 0)
+    def _load_and_stats():
+        r0 = h_idx * hb
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
+        # Residual maps for ext rows [r0−p, r0+hb+p): clamp at the edges
+        # (maps_hbm is [maps_rows, 8, wo], dim 0 untiled → any offset).
+        s0 = jnp.clip(r0 - p, 0, maps_rows - hbe)
+        maps_dma = pltpu.make_async_copy(
+            maps_hbm.at[pl.ds(s0, hbe), :, :],
+            maps_vmem.at[pl.ds(p, hbe)], sems.at[2])
+        cam_dma.start()
+        proj_dma.start()
+        maps_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
+        maps_dma.wait()
+
+        cam = cam_vmem[:, :]
+        sx = _box_from_band(cam, k, hbe, woe)
+        sx_scr[:, :] = sx * inv_k2
+        ex2_scr[:, :] = _box_from_band(cam * cam, k, hbe, woe) \
+            - sx * sx * inv_k2
+        proj = proj_vmem[:, :]
+        sy = _box_from_band(proj, k, hbe, syw)
+        sy_scr[:, :] = sy
+        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
+                         - sy * sy * inv_k2)
+
+        a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+
+    band = cam_vmem[:, :]
+    mux = sx_scr[:, :]
+    ex2 = ex2_scr[:, :]
+
+    r0 = h_idx * hb
+    s0 = jnp.clip(r0 - p, 0, maps_rows - hbe)
+    delta = (r0 - p) - s0
+
+    def map_ext(i):
+        """Residual map i at ext coordinates [hbe, woe] (zero outside the
+        image), from the clamped staging buffer."""
+        raw = maps_vmem[pl.ds(delta + p, hbe), i, :]       # [hbe, wo]
+        trow = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
+        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
+        ok = jnp.logical_and(
+            jnp.logical_and(trow >= 0, trow < H), tcol < W)
+        raw = jnp.where(ok, raw, 0.0)
+        zcol = jnp.zeros((hbe, p), raw.dtype)
+        return jnp.concatenate([zcol, raw, zcol], axis=1)   # [hbe, woe]
+
+    m_e = map_ext(0)
+    inv_s_e = map_ext(1)       # 1/s, precomputed (zero outside image)
+    tos_e = map_ext(2)         # t/s, precomputed
+    am_e = map_ext(3)
+    gs_e = map_ext(4)          # ĝ_soft · mask · β
+    gc_e = map_ext(5)          # ĝ_conf
+
+    d_base = d_idx * dt
+    shift = lp - (d_base + dt - 1)
+    psh = pltpu.roll(proj_vmem[:, :], pw - shift, axis=1)
+    syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
+    ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
+
+    for j in range(dt):
+        c0 = dt - 1 - j
+        pslice = psh[:, c0:c0 + wcc]
+        prod = band * pslice
+        sxy = _box_from_band(prod, k, hbe, woe)
+        sy_sh = syb[:, c0:c0 + woe]
+        ey2_sh = ey2b[:, c0:c0 + woe]
+        exy = sxy - mux * sy_sh
+        r = lax.rsqrt(ex2 * ey2_sh + eps)
+        n = exy + eps
+        c = n * r                                  # the cost plane, ext
+
+        d = d_base + j
+        d_f = jnp.float32(0) + d                   # traced scalar → f32
+        # Head cotangent for this plane (zero for padded d: gs/gc are zero
+        # there only if d picks w_d≈0... guard explicitly).
+        if True:
+            valid = d <= D
+            w = jnp.exp(beta * (c - m_e)) * inv_s_e
+            g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
+            g_d = jnp.where(valid, g_d, 0.0)
+
+        gr = g_d * r
+        boxgr = _box_from_band(gr, k, hb, wo)
+        a1_scr[:, :] = a1_scr[:, :] + boxgr * pslice[2 * p:2 * p + hb,
+                                                     2 * p:2 * p + wo]
+        c_sl = (slice(p, p + hb), slice(p, p + wo))
+        r_c = r[c_sl]
+        b_scr[:, :] = b_scr[:, :] + (g_d[c_sl] * n[c_sl]
+                                     * (r_c * r_c * r_c) * ey2_sh[c_sl])
+        grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * (sy_sh[c_sl] * inv_k2)
+
+    @pl.when(d_idx == n_d - 1)
+    def _epilogue():
+        a1_ref[:, :] = a1_scr[:, :]
+        b_ref[:, :] = b_scr[:, :]
+        grmu_ref[:, :] = grmu_scr[:, :]
+
+
+def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
+                          block_rows, block_disparities, interpret):
+    """Run the fused backward kernel + the tiny XLA epilogue."""
+    H, W = camera.shape
+    p = k // 2
+    hb = _round_up(int(block_rows), 8)
+    hbe = hb + 2 * p
+    n_d = -(-(D + 1) // int(block_disparities))
+    dt = _round_up(-(-(D + 1) // n_d), 8)
+
+    wo = _round_up(max(W, 128), 128)
+    woe = wo + 2 * p
+    wcc = _round_up(woe + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+
+    n_h = -(-H // hb)
+    h_pad = n_h * hb
+    band_rows = _round_up(hbe + 2 * p, 8)
+    src_rows = h_pad + band_rows
+
+    cam_p = jnp.zeros((src_rows, wcc), camera.dtype)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (2 * p, 2 * p))
+    proj_p = jnp.zeros((src_rows, pw), projector.dtype)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
+
+    maps_rows = maps_stack.shape[0]
+    if maps_rows < hbe:
+        maps_stack = jnp.pad(maps_stack,
+                             ((0, hbe - maps_rows), (0, 0), (0, 0)))
+        maps_rows = hbe
+
+    kernel = functools.partial(
+        _fused_bwd_kernel, H=H, W=W, D=D, k=k, eps=float(eps),
+        beta=float(beta), hb=hb, dt=dt, wo=wo, woe=woe, wcc=wcc, pw=pw,
+        syw=syw, lp=lp, maps_rows=maps_rows)
+
+    map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
+    map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
+                            memory_space=pltpu.VMEM)
+    a1, b, grmu = pl.pallas_call(
+        kernel,
+        grid=(n_h, n_d),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(map_spec, map_spec, map_spec),
+        out_shape=(map_shape, map_shape, map_shape),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, wcc), camera.dtype),
+            pltpu.VMEM((band_rows, pw), camera.dtype),
+            pltpu.VMEM((hbe + 2 * p, 8, wo), camera.dtype),   # maps staging
+            pltpu.VMEM((hbe, woe), camera.dtype),
+            pltpu.VMEM((hbe, woe), camera.dtype),
+            pltpu.VMEM((hbe, syw), camera.dtype),
+            pltpu.VMEM((hbe, syw), camera.dtype),
+            pltpu.VMEM((hb, wo), camera.dtype),
+            pltpu.VMEM((hb, wo), camera.dtype),
+            pltpu.VMEM((hb, wo), camera.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * k * H * W * (D + 1),
+            bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
+            transcendentals=2 * H * W * (D + 1),
+        ),
+        interpret=interpret,
+    )(cam_p, proj_p, maps_stack)
+
+    from custereomatching_tpu.ops.zncc import box2d
+
+    a1 = a1[:H, :W]
+    b = b[:H, :W]
+    grmu = grmu[:H, :W]
+    k2 = jnp.asarray(k * k, camera.dtype)
+    mux = box2d(camera, k) / k2
+    return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _fused_train(camera, projector, num_disparities, kernel_size, epsilon,
+                 beta, threshold, interpret):
+    return _pipeline_forward(camera, projector, num_disparities,
+                             kernel_size, epsilon, beta, threshold,
+                             32, 40, interpret)
+
+
+def _fused_train_fwd(camera, projector, num_disparities, kernel_size,
+                     epsilon, beta, threshold, interpret):
+    H, W = camera.shape
+    am, soft, mask, conf, s, t = _pipeline_forward_full(
+        camera, projector, num_disparities, kernel_size, epsilon, beta,
+        threshold, 32, 40, interpret)
+    out = PipelineMaps(disparity=am[:H, :W] * mask[:H, :W],
+                       soft_disparity=soft[:H, :W], mask=mask[:H, :W],
+                       confidence=conf[:H, :W])
+    return out, (camera, projector, am, mask, conf, s, t)
+
+
+def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
+                     interpret, residuals, g):
+    camera, projector, am, mask, conf, s, t = residuals
+    H, W = camera.shape
+    h_pad, wo = am.shape
+    # Hard disparity and mask are piecewise-constant (zero grad a.e.);
+    # soft and confidence cotangents flow.  Premultiply gs by mask·β here
+    # so the kernel's per-plane work stays minimal.
+    gs = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
+        g.soft_disparity * beta)
+    gs = gs * mask
+    gc = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(g.confidence)
+    inv_s = 1.0 / s
+    tos = t * inv_s
+    maps_stack = jnp.stack(
+        [conf, inv_s, tos, am, gs, gc,
+         jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)
+    cam_grad = _fused_train_bwd_impl(
+        camera, projector, maps_stack, num_disparities, kernel_size,
+        epsilon, beta, 32, 8, interpret)
+    return cam_grad, jnp.zeros_like(projector)
+
+
+_fused_train.defvjp(_fused_train_fwd, _fused_train_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def stereo_pipeline_trainable(
+    camera: jax.Array,
+    projector: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    beta: float = 50.0,
+    threshold: float = 0.6,
+    interpret: bool = False,
+) -> PipelineMaps:
+    """Differentiable fused pipeline: pair → disparity maps, volume-free
+    in BOTH directions.
+
+    Camera gradients flow through ``soft_disparity`` and ``confidence``
+    (``disparity``/``mask`` are piecewise-constant — zero gradient a.e.,
+    the same as differentiating through argmax/threshold in any
+    framework).  The projector gradient is a symbolic zero (reference
+    parity, custma/stereo_matching_wrapper.py:33).
+
+    Residuals are six per-pixel maps; the backward kernel recomputes each
+    cost plane and forms the softmax-head cotangent inline, so neither
+    the cost volume nor its cotangent ever exists in HBM.
+    """
+    return _fused_train(camera, projector, num_disparities, kernel_size,
+                        epsilon, beta, threshold, interpret)

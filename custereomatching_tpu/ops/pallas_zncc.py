@@ -331,6 +331,64 @@ def _pallas_stereo_bwd(num_disparities, kernel_size, epsilon, interpret,
 _pallas_stereo.defvjp(_pallas_stereo_fwd, _pallas_stereo_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _pallas_stereo_hdw(camera, projector, num_disparities, kernel_size,
+                       epsilon, interpret):
+    return pallas_cost_volume_banded_hdw(
+        camera, projector, num_disparities, kernel_size, epsilon,
+        24, 40, interpret, True)
+
+
+def _pallas_stereo_hdw_fwd(camera, projector, num_disparities, kernel_size,
+                           epsilon, interpret):
+    cost = _pallas_stereo_hdw(camera, projector, num_disparities,
+                              kernel_size, epsilon, interpret)
+    return cost, (camera, projector)
+
+
+def _pallas_stereo_hdw_bwd(num_disparities, kernel_size, epsilon, interpret,
+                           residuals, g):
+    from custereomatching_tpu.ops.pallas_zncc_bwd import (
+        pallas_camera_grad_banded_hdw)
+    camera, projector = residuals
+    cam_grad = pallas_camera_grad_banded_hdw(
+        camera, projector, g, num_disparities, kernel_size, epsilon,
+        32, 8, interpret)
+    return cam_grad, jnp.zeros_like(projector)
+
+
+_pallas_stereo_hdw.defvjp(_pallas_stereo_hdw_fwd, _pallas_stereo_hdw_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def stereo_matching_pallas_hdw(
+    camera: jax.Array,
+    projector: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable banded ZNCC cost volume in **padded HDW layout**.
+
+    The production training path.  Returns the kernel's native
+    ``[h_pad, ndt, wo]`` volume (``h_pad = ceil(H/24)·24``,
+    ``ndt = D+1 rounded up to 8``, ``wo = W rounded up to 128``); entries
+    outside ``[:H, :D+1, :W]`` are garbage and MUST be excluded from any
+    loss — use the padded-aware head
+    (:func:`..disparity.extract_disparity_hdw`), whose masking also
+    guarantees the zero-cotangent contract of the direct-DMA backward.
+
+    Why this exists: both the final slice of the parity layout and any
+    XLA-side pad/transpose of the ~0.5 GB cotangent cost ~2-4 ms each on
+    a v5e — more than the backward kernel's useful work.  Keeping the
+    padded layout end-to-end eliminates every volume-sized XLA copy from
+    the training step.
+    """
+    return _pallas_stereo_hdw(camera, projector, num_disparities,
+                              kernel_size, epsilon, interpret)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def stereo_matching_pallas(
     camera: jax.Array,

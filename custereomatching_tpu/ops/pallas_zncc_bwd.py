@@ -1,0 +1,369 @@
+"""Pallas TPU kernel for the banded ZNCC backward pass (camera VJP).
+
+The reference's backward is its raison d'être: a hand-derived analytic
+gradient in two CUDA kernels that scatter H·W·D·k² atomicAdd
+contributions through an ``[H, W, k, k]`` intermediate (reference:
+custma/src/stereo_matching_kernel.cu:75-179).  TPUs have no atomics; per
+survey §7.4 the VJP is evaluated in closed form as gathers + box filters
+— the scatter/race class is eliminated by construction.
+
+Math (cf. :func:`..zncc._camera_grad_banded`, verified against
+``jax.grad`` of the golden oracle): with ``n = exy + ε``,
+``r = (ex2·ey2 + ε)^{-1/2}``, upstream cotangent ``g[h, w, d]``::
+
+    gr    = g · r
+    B     = Σ_d g · n · r³ · ey2          (per-pixel scalar field)
+    GRMU  = Σ_d gr · μy(d)                (per-pixel scalar field)
+    A1    = Σ_d box2d(gr)[h, w, d] · proj[h, w − d]
+    cam_grad = A1 − box2d(GRMU) + box2d(B·μx) − camera ⊙ box2d(B)
+
+The kernel computes the three **D-reduced fields** A1/B/GRMU — the only
+volume-sized work — by rematerializing the forward statistics per tile
+(the residuals are just the two images, matching the reference's
+``ctx.save_for_backward``, custma/stereo_matching_wrapper.py:16) and
+folding each cotangent plane into accumulators as it streams in.  The
+final three ``[H, W]`` box filters run in XLA (they are ~0.1% of the
+work).
+
+Because ``box2d(gr)`` at a tile's rows needs ``gr`` (hence the forward
+statistics) at rows ±k//2 around the tile, the per-tile recompute runs at
+the **halo-extended extent**; the duplicated halo work is the remat cost,
+the same trade the reference makes by recomputing means/moments in its
+backward kernel (kernel.cu:97-128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from custereomatching_tpu.ops.pallas_zncc import (
+    EPSILON,
+    _box_from_band,
+    _round_up,
+)
+
+
+def _bwd_kernel(cam_hbm, proj_hbm, g_hbm,
+                a1_ref, b_ref, grmu_ref,
+                cam_vmem, proj_vmem, g_vmem,
+                sx_scr, ex2_scr, sy_scr, ey2_scr,
+                a1_scr, b_scr, grmu_scr, sems,
+                *, D: int, k: int, eps: float, hb: int, dt: int,
+                wo: int, woe: int, wcc: int, pw: int, syw: int, lp: int,
+                direct_g: bool, g_rows: int):
+    """``direct_g=False``: the cotangent source is pre-padded to band
+    coordinates ``[src_rows, n_d·dt, wcc]`` (image at offset (2p, 0, 2p)).
+    ``direct_g=True``: the cotangent is the kernel's own padded-HDW
+    volume ``[g_rows, n_d·dt, wo]`` with NO margins — the DMA offset is
+    clamped at the array edges and the halo rows that fall outside are
+    masked to zero in-register.  This avoids any XLA-side pad of the
+    ~0.5 GB cotangent (measured ~3.7 ms, dwarfing the copy's bandwidth
+    cost)."""
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    p = k // 2
+    hbe = hb + 2 * p                     # extended (halo'd) output rows
+    band_rows = _round_up(hbe + 2 * p, 8)
+    inv_k2 = 1.0 / float(k * k)
+
+    @pl.when(d_idx == 0)
+    def _load_and_stats():
+        r0 = h_idx * hb
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
+        cam_dma.start()
+        proj_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
+
+        cam = cam_vmem[:, :]
+        sx = _box_from_band(cam, k, hbe, woe)
+        sx_scr[:, :] = sx * inv_k2       # μx at extended extent
+        ex2_scr[:, :] = _box_from_band(cam * cam, k, hbe, woe) \
+            - sx * sx * inv_k2
+        proj = proj_vmem[:, :]
+        sy = _box_from_band(proj, k, hbe, syw)
+        sy_scr[:, :] = sy
+        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
+                         - sy * sy * inv_k2)
+
+        a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+
+    # Cotangent planes for this (row tile, disparity tile).
+    r0 = h_idx * hb
+    if direct_g:
+        # Rows needed: image rows [r0 − p, r0 + hb + p) = [s_want, +hbe).
+        # Clamp the start into the unpadded source; correct with δ below.
+        s_want = r0 - p
+        s0 = jnp.clip(s_want, 0, g_rows - hbe)
+        g_dma = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(s0, hbe), pl.ds(d_idx * dt, dt), :],
+            g_vmem.at[pl.ds(p, hbe)], sems.at[2])
+    else:
+        g_dma = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(r0, band_rows), pl.ds(d_idx * dt, dt), :],
+            g_vmem, sems.at[2])
+    g_dma.start()
+
+    band = cam_vmem[:, :]
+    mux = sx_scr[:, :]
+    ex2 = ex2_scr[:, :]
+
+    d_base = d_idx * dt
+    shift = lp - (d_base + dt - 1)
+    psh = pltpu.roll(proj_vmem[:, :], pw - shift, axis=1)
+    syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
+    ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
+
+    g_dma.wait()
+
+    for j in range(dt):
+        c0 = dt - 1 - j
+        # Forward recompute at the extended extent (ext row t ↔ image row
+        # r0 + t − p; ext col c ↔ image col c − p).
+        pslice = psh[:, c0:c0 + wcc]
+        prod = band * pslice
+        sxy = _box_from_band(prod, k, hbe, woe)
+        sy_sh = syb[:, c0:c0 + woe]
+        ey2_sh = ey2b[:, c0:c0 + woe]
+        exy = sxy - mux * sy_sh
+        r = lax.rsqrt(ex2 * ey2_sh + eps)
+        n = exy + eps
+
+        # Cotangent in ext coordinates (ext row t ↔ image row r0 + t − p).
+        if direct_g:
+            # Buffer rows [p, p+hbe) hold source rows [s0, s0+hbe); wanted
+            # row t is source row s_want + t = buffer row t + δ + p.
+            delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
+            raw = g_vmem[pl.ds(delta + p, hbe), j, :]       # [hbe, wo]
+            trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
+            rmask = jnp.logical_and(trow + (r0 - p) >= 0,
+                                    trow + (r0 - p) < g_rows)
+            raw = jnp.where(rmask, raw, 0.0)
+            zcol = jnp.zeros((hbe, p), raw.dtype)
+            g_ext = jnp.concatenate([zcol, raw, zcol], axis=1)  # [hbe, woe]
+        else:
+            # Pre-padded band coordinates: band row s ↔ image row
+            # r0 + s − 2p ⇒ g_ext[t, c] = g_band[t+p, c+p].
+            g = g_vmem[:, j, :]
+            g_ext = g[p:p + hbe, p:p + woe]
+        gr = g_ext * r
+
+        # A1: box2d(gr) at center rows ⊙ proj[y, x − d] (band offset 2p).
+        boxgr = _box_from_band(gr, k, hb, wo)
+        a1_scr[:, :] = a1_scr[:, :] + boxgr * pslice[2 * p:2 * p + hb,
+                                                     2 * p:2 * p + wo]
+
+        # Center slices (image rows/cols of this tile) in ext coordinates.
+        c_sl = (slice(p, p + hb), slice(p, p + wo))
+        r_c = r[c_sl]
+        b_scr[:, :] = b_scr[:, :] + (g_ext[c_sl] * n[c_sl]
+                                     * (r_c * r_c * r_c) * ey2_sh[c_sl])
+        grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * (sy_sh[c_sl] * inv_k2)
+
+    @pl.when(d_idx == n_d - 1)
+    def _epilogue():
+        a1_ref[:, :] = a1_scr[:, :]
+        b_ref[:, :] = b_scr[:, :]
+        grmu_ref[:, :] = grmu_scr[:, :]
+
+
+def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
+             interpret, direct_g):
+    """Shared driver: build band sources, run the kernel, XLA epilogue."""
+    H, W = camera.shape
+    p = k // 2
+    hbe = hb + 2 * p
+
+    wo = _round_up(max(W, 128), 128)
+    woe = wo + 2 * p                       # extended output columns
+    wcc = _round_up(woe + 2 * p, 128)      # camera band width
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+
+    n_h = -(-H // hb)
+    h_pad = n_h * hb
+    band_rows = _round_up(hbe + 2 * p, 8)
+    src_rows = h_pad + band_rows
+
+    # Band sources.  Note the extended extent: ext col 0 ↔ image col −p,
+    # so images sit at column offset 2p of the camera band (p for the
+    # extension + p for the window halo).
+    cam_p = jnp.zeros((src_rows, wcc), camera.dtype)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (2 * p, 2 * p))
+    proj_p = jnp.zeros((src_rows, pw), projector.dtype)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
+
+    g_rows = g_src.shape[0]
+    if direct_g and g_rows < hbe:
+        # Tiny inputs only: the clamped DMA needs at least hbe source rows.
+        g_src = jnp.pad(g_src, ((0, hbe - g_rows), (0, 0), (0, 0)))
+        g_rows = hbe
+
+    if direct_g:
+        g_scratch = pltpu.VMEM((hbe + 2 * p, dt, wo), camera.dtype)
+    else:
+        g_scratch = pltpu.VMEM((band_rows, dt, wcc), camera.dtype)
+
+    kernel = functools.partial(
+        _bwd_kernel, D=D, k=k, eps=float(eps), hb=hb, dt=dt,
+        wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
+        direct_g=direct_g, g_rows=g_rows)
+
+    map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
+    map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
+                            memory_space=pltpu.VMEM)
+    a1, b, grmu = pl.pallas_call(
+        kernel,
+        grid=(n_h, n_d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(map_spec, map_spec, map_spec),
+        out_shape=(map_shape, map_shape, map_shape),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera band
+            pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
+            g_scratch,                                        # cotangent
+            pltpu.VMEM((hbe, woe), camera.dtype),             # μx
+            pltpu.VMEM((hbe, woe), camera.dtype),             # ex2
+            pltpu.VMEM((hbe, syw), camera.dtype),             # sy
+            pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
+            pltpu.VMEM((hb, wo), camera.dtype),               # A1 acc
+            pltpu.VMEM((hb, wo), camera.dtype),               # B acc
+            pltpu.VMEM((hb, wo), camera.dtype),               # GRMU acc
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * k * H * W * (D + 1),
+            bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
+            transcendentals=H * W * (D + 1),
+        ),
+        interpret=interpret,
+    )(cam_p, proj_p, g_src)
+
+    a1 = a1[:H, :W]
+    b = b[:H, :W]
+    grmu = grmu[:H, :W]
+
+    # Tiny XLA epilogue: three [H, W] box filters + elementwise.
+    from custereomatching_tpu.ops.zncc import box2d
+
+    k2 = jnp.asarray(k * k, camera.dtype)
+    mux = box2d(camera, k) / k2
+    return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def pallas_camera_grad_banded(
+    camera: jax.Array,
+    projector: jax.Array,
+    cost_volume_grad: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    block_rows: int = 32,
+    block_disparities: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Camera-image VJP of the banded ZNCC cost volume (Pallas).
+
+    Args:
+      camera: ``[H, W]`` float32 camera image.
+      projector: ``[H, W]`` float32 projector image.
+      cost_volume_grad: ``[H, W, D+1]`` upstream cotangent (the
+        reference-parity layout; examples/verify.py:68 uses all-ones).
+      num_disparities: band size D.
+      kernel_size: odd correlation window side.
+      epsilon: ZNCC epsilon.
+      block_rows: output rows per grid step (multiple of 8).
+      block_disparities: cotangent planes per grid step (multiple of 8;
+        bounds the ``[rows, dt, W]`` cotangent staging buffer in VMEM).
+      interpret: Pallas interpreter mode (CPU testing).
+
+    Returns:
+      ``[H, W]`` gradient w.r.t. the camera image.  The projector
+      gradient is intentionally not produced (reference parity:
+      custma/stereo_matching_wrapper.py:33 returns None).
+    """
+    H, W = camera.shape
+    D = int(num_disparities)
+    k = int(kernel_size)
+    hb = _round_up(int(block_rows), 8)
+    n_d = -(-(D + 1) // int(block_disparities))
+    dt = _round_up(-(-(D + 1) // n_d), 8)
+
+    p = k // 2
+    hbe = hb + 2 * p
+    band_rows = _round_up(hbe + 2 * p, 8)
+    src_rows = -(-H // hb) * hb + band_rows
+    wo = _round_up(max(W, 128), 128)
+    woe = wo + 2 * p
+    wcc = _round_up(woe + 2 * p, 128)
+    g_hdw = jnp.swapaxes(cost_volume_grad, 1, 2)  # [H, D+1, W]
+    g_p = jnp.zeros((src_rows, n_d * dt, wcc), camera.dtype)
+    g_p = lax.dynamic_update_slice(g_p, g_hdw, (2 * p, 0, 2 * p))
+
+    return _run_bwd(camera, projector, g_p, D, k, epsilon, hb, dt, n_d,
+                    interpret, direct_g=False)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def pallas_camera_grad_banded_hdw(
+    camera: jax.Array,
+    projector: jax.Array,
+    padded_hdw_grad: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    block_rows: int = 32,
+    block_disparities: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Camera VJP taking the cotangent in the kernel's own padded-HDW
+    layout ``[h_pad, ndt, wo]`` (what autodiff produces when the loss
+    consumes :func:`..pallas_zncc.pallas_cost_volume_banded_hdw` with
+    ``padded=True``).  The cotangent is DMA'd straight from HBM with
+    clamped offsets — NO XLA-side pad/transpose of the ~0.5 GB volume
+    (measured ~4 ms, i.e. more than the whole backward kernel's useful
+    work).
+
+    Contract: cotangent entries for padded rows/planes/columns must be
+    zero — true by construction when the loss reads only valid
+    rows/cols/planes (e.g. through the padded-aware disparity head).
+    """
+    H, W = camera.shape
+    D = int(num_disparities)
+    k = int(kernel_size)
+    hb = _round_up(int(block_rows), 8)
+    wo = _round_up(max(W, 128), 128)
+    n_planes = padded_hdw_grad.shape[1]
+    if padded_hdw_grad.shape[2] != wo:
+        raise ValueError(
+            f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
+            f"expected {wo}")
+    # dt must evenly divide the padded plane count (DMA slices may not
+    # overrun the source); pick the largest multiple of 8 within budget.
+    dtb = _round_up(int(block_disparities), 8)
+    dt = 8
+    for cand in range(8, dtb + 1, 8):
+        if n_planes % cand == 0:
+            dt = cand
+    n_d = n_planes // dt
+
+    return _run_bwd(camera, projector, padded_hdw_grad, D, k, epsilon,
+                    hb, dt, n_d, interpret, direct_g=True)
