@@ -1,0 +1,161 @@
+"""Native C++ host runtime: image decode, .npy parsing, preprocessing.
+
+The reference's native layer (C++/CUDA extension, custma/src/) handled
+host orchestration and kernels; on TPU the kernels are Pallas/Mosaic, so
+the native runtime that remains is the host data path.  This package
+builds ``libcustereo_io.so`` with g++ (links libpng/zlib) and binds it
+via ctypes — no pybind11 required.
+
+All entry points degrade gracefully: if the library is missing and
+cannot be built, callers fall back to the Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libcustereo_io.so")
+_SOURCES = [os.path.join(_DIR, "custereo_io.cpp")]
+
+_lib = None
+_load_attempted = False
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the native library in place.  Returns True on success."""
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB_PATH] + _SOURCES + ["-lpng", "-lz"]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0:
+        if verbose:
+            print(res.stderr, file=sys.stderr)
+        return False
+    return True
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH):
+        src_newer = True
+    else:
+        src_newer = (os.path.getmtime(_SOURCES[0])
+                     > os.path.getmtime(_LIB_PATH))
+    if src_newer and not build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.cst_decode_png_gray.restype = ctypes.c_int
+    lib.cst_decode_png_gray.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cst_load_npy_f32.restype = ctypes.c_int
+    lib.cst_load_npy_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    lib.cst_u8_to_f32_gray.restype = None
+    lib.cst_u8_to_f32_gray.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p]
+    lib.cst_pad_image_f32.restype = None
+    lib.cst_pad_image_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.cst_abi_version.restype = ctypes.c_int
+    if lib.cst_abi_version() != 1:
+        return None
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    """True if the native library is loaded (building it if needed)."""
+    return _load() is not None
+
+
+def decode_png_gray(path: str, channel: int = 0) -> Optional[np.ndarray]:
+    """Decode a PNG to float32 [H, W] in [0, 1]; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = lib.cst_decode_png_gray(path.encode(), channel, None, 0,
+                                 ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        return None
+    out = np.empty((h.value, w.value), np.float32)
+    rc = lib.cst_decode_png_gray(
+        path.encode(), channel, out.ctypes.data_as(ctypes.c_void_p),
+        out.size, ctypes.byref(h), ctypes.byref(w))
+    return out if rc == 0 else None
+
+
+def load_npy_f32(path: str) -> Optional[np.ndarray]:
+    """Load a C-contiguous float32 .npy; None if unavailable/unsupported."""
+    lib = _load()
+    if lib is None:
+        return None
+    shape = (ctypes.c_int64 * 4)()
+    ndim = ctypes.c_int32()
+    rc = lib.cst_load_npy_f32(path.encode(), None, 0, shape,
+                              ctypes.byref(ndim))
+    if rc != 0:
+        return None
+    dims = tuple(shape[i] for i in range(ndim.value))
+    out = np.empty(dims, np.float32)
+    rc = lib.cst_load_npy_f32(
+        path.encode(), out.ctypes.data_as(ctypes.c_void_p), out.size,
+        shape, ctypes.byref(ndim))
+    return out if rc == 0 else None
+
+
+def u8_to_f32_gray(img: np.ndarray, channel: int = 0) -> Optional[np.ndarray]:
+    """Normalize a uint8 [H, W] or [H, W, C] image to float32 [H, W]."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        h, w, c = img.shape[0], img.shape[1], 1
+    else:
+        h, w, c = img.shape
+    out = np.empty((h, w), np.float32)
+    lib.cst_u8_to_f32_gray(img.ctypes.data_as(ctypes.c_void_p), h, w, c,
+                           channel, out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def pad_image_f32(img: np.ndarray, dst_h: int, dst_w: int, off_r: int,
+                  off_c: int) -> Optional[np.ndarray]:
+    """Zero-pad ``img`` into a [dst_h, dst_w] buffer at (off_r, off_c)."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.float32)
+    out = np.empty((dst_h, dst_w), np.float32)
+    lib.cst_pad_image_f32(img.ctypes.data_as(ctypes.c_void_p),
+                          img.shape[0], img.shape[1],
+                          out.ctypes.data_as(ctypes.c_void_p),
+                          dst_h, dst_w, off_r, off_c)
+    return out
+
+
+__all__ = ["build", "decode_png_gray", "load_npy_f32", "native_available",
+           "pad_image_f32", "u8_to_f32_gray"]

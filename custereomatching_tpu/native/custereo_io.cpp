@@ -1,0 +1,211 @@
+// Native IO / host-preprocessing library for custereomatching_tpu.
+//
+// The reference's native layer is a C++/CUDA extension whose host side
+// validates inputs, allocates buffers and launches kernels
+// (reference: custma/src/stereo_matching.cpp, bindings.cpp).  On TPU the
+// kernel launches belong to XLA/Mosaic, so the native runtime work that
+// remains host-side is the data path: image decode, normalization,
+// channel extraction, .npy parsing and tile-padding — the per-frame CPU
+// work that would otherwise bottleneck a >300 fps device pipeline if left
+// to interpreted Python.  Exposed as a plain C ABI consumed via ctypes
+// (no pybind11 dependency).
+//
+// Build: see build.py in this directory (g++ -O3 -shared -fPIC, links
+// libpng + zlib).
+
+#include <png.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PNG decode → float32 [H, W] in [0, 1]
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success. On success *height/*width hold the image size.
+// If out == nullptr, only the size probe is performed.  `channel` selects
+// the color channel of RGB(A) inputs (the reference takes channel 0 of
+// its camera frame, examples/verify.py:149); grayscale inputs ignore it.
+int cst_decode_png_gray(const char* path, int channel, float* out,
+                        int64_t out_capacity, int32_t* height,
+                        int32_t* width) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    return -2;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return -3;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return -3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -4;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int color = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+
+  // Normalize to 8-bit RGB or gray.
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_read_update_info(png, info);
+
+  *height = static_cast<int32_t>(h);
+  *width = static_cast<int32_t>(w);
+  if (out == nullptr) {  // size probe
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 0;
+  }
+  if (out_capacity < static_cast<int64_t>(h) * w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -5;
+  }
+
+  const size_t rowbytes = png_get_rowbytes(png, info);
+  const int channels = static_cast<int>(rowbytes / w);
+  std::vector<png_byte> row(rowbytes);
+  const int c = (channels > 1 && channel >= 0 && channel < channels)
+                    ? channel
+                    : 0;
+  constexpr float kInv255 = 1.0f / 255.0f;
+  for (png_uint_32 y = 0; y < h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    float* dst = out + static_cast<int64_t>(y) * w;
+    for (png_uint_32 x = 0; x < w; ++x) {
+      dst[x] = static_cast<float>(row[x * channels + c]) * kInv255;
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Minimal .npy (v1/v2) float32 reader
+// ---------------------------------------------------------------------------
+
+// Parses a .npy containing a C-contiguous float32 array with up to 4
+// dims.  Returns 0 on success; fills shape (padded with 1s) and ndim.
+// If out == nullptr, probes the shape only.
+int cst_load_npy_f32(const char* path, float* out, int64_t out_capacity,
+                     int64_t* shape /* [4] */, int32_t* ndim) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  unsigned char magic[8];
+  if (std::fread(magic, 1, 8, fp) != 8 || std::memcmp(magic, "\x93NUMPY", 6)) {
+    std::fclose(fp);
+    return -2;
+  }
+  const int major = magic[6];
+  uint32_t header_len = 0;
+  if (major == 1) {
+    uint16_t len16;
+    if (std::fread(&len16, 2, 1, fp) != 1) { std::fclose(fp); return -2; }
+    header_len = len16;
+  } else {
+    if (std::fread(&header_len, 4, 1, fp) != 1) { std::fclose(fp); return -2; }
+  }
+  std::string header(header_len, '\0');
+  if (std::fread(&header[0], 1, header_len, fp) != header_len) {
+    std::fclose(fp);
+    return -2;
+  }
+  if (header.find("'<f4'") == std::string::npos ||
+      header.find("'fortran_order': False") == std::string::npos) {
+    std::fclose(fp);
+    return -3;  // only C-contiguous float32 supported
+  }
+  size_t lp = header.find('(');
+  size_t rp = header.find(')', lp);
+  if (lp == std::string::npos || rp == std::string::npos) {
+    std::fclose(fp);
+    return -2;
+  }
+  std::string dims = header.substr(lp + 1, rp - lp - 1);
+  int nd = 0;
+  int64_t total = 1;
+  for (int i = 0; i < 4; ++i) shape[i] = 1;
+  const char* s = dims.c_str();
+  while (*s && nd < 4) {
+    while (*s == ' ' || *s == ',') ++s;
+    if (!*s) break;
+    char* end;
+    long long v = std::strtoll(s, &end, 10);
+    if (end == s) break;
+    shape[nd++] = v;
+    total *= v;
+    s = end;
+  }
+  *ndim = nd;
+  if (out == nullptr) {  // shape probe
+    std::fclose(fp);
+    return 0;
+  }
+  if (out_capacity < total) {
+    std::fclose(fp);
+    return -5;
+  }
+  size_t got = std::fread(out, sizeof(float), total, fp);
+  std::fclose(fp);
+  return got == static_cast<size_t>(total) ? 0 : -6;
+}
+
+// ---------------------------------------------------------------------------
+// Host preprocessing
+// ---------------------------------------------------------------------------
+
+// uint8 [H, W, C] (or C=1) → normalized float32 [H, W] channel extract.
+void cst_u8_to_f32_gray(const uint8_t* src, int64_t h, int64_t w,
+                        int32_t channels, int32_t channel, float* dst) {
+  constexpr float kInv255 = 1.0f / 255.0f;
+  const int32_t c = (channels > 1 && channel < channels) ? channel : 0;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = src + y * w * channels;
+    float* out = dst + y * w;
+    for (int64_t x = 0; x < w; ++x) out[x] = row[x * channels + c] * kInv255;
+  }
+}
+
+// Zero-pad a float32 image into a larger staging buffer at offset
+// (off_r, off_c) — the host-side equivalent of the band staging the
+// Pallas wrappers do in XLA; useful to hand JAX pre-padded pinned arrays.
+void cst_pad_image_f32(const float* src, int64_t h, int64_t w, float* dst,
+                       int64_t dh, int64_t dw, int64_t off_r, int64_t off_c) {
+  std::memset(dst, 0, sizeof(float) * dh * dw);
+  for (int64_t y = 0; y < h; ++y) {
+    std::memcpy(dst + (y + off_r) * dw + off_c, src + y * w,
+                sizeof(float) * w);
+  }
+}
+
+int cst_abi_version() { return 1; }
+
+}  // extern "C"

@@ -321,10 +321,12 @@ def _pallas_stereo_fwd(camera, projector, num_disparities, kernel_size,
 
 def _pallas_stereo_bwd(num_disparities, kernel_size, epsilon, interpret,
                        residuals, g):
-    from custereomatching_tpu.ops.zncc import _camera_grad_banded
+    from custereomatching_tpu.ops.pallas_zncc_bwd import (
+        pallas_camera_grad_banded)
     camera, projector = residuals
-    cam_grad = _camera_grad_banded(camera, projector, g, num_disparities,
-                                   kernel_size, epsilon)
+    cam_grad = pallas_camera_grad_banded(
+        camera, projector, g, num_disparities, kernel_size, epsilon,
+        32, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 

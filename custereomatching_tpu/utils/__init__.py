@@ -1,5 +1,17 @@
-"""Utilities: timing/benchmark harness, synthetic data generation."""
+"""Utilities: timing/benchmark harness and stereo evaluation metrics."""
 
+from custereomatching_tpu.utils.metrics import (
+    bad_pixel_rate,
+    disparity_metrics,
+    end_point_error,
+)
 from custereomatching_tpu.utils.timer import Timer, TimerError, benchmark
 
-__all__ = ["Timer", "TimerError", "benchmark"]
+__all__ = [
+    "Timer",
+    "TimerError",
+    "bad_pixel_rate",
+    "benchmark",
+    "disparity_metrics",
+    "end_point_error",
+]

@@ -95,14 +95,32 @@ def benchmark(
     Returns a dict with ``median_s``, ``mean_s``, ``min_s``, ``max_s``,
     ``std_s`` and ``iters``.
     """
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
 
+    def fence(x):
+        # block_until_ready alone is not trusted: on relayed/async
+        # platforms it can return before execution finishes; a host
+        # readback of one element cannot.
+        jax.block_until_ready(x)
+        leaves = jax.tree_util.tree_leaves(x)
+        if leaves and hasattr(leaves[0], "reshape"):
+            float(jax.numpy.asarray(leaves[0]).reshape(-1)[0])
+
+    for _ in range(warmup):
+        fence(fn(*args, **kwargs))
+
+    # Device execution is in-order, so dispatching a chain of calls and
+    # fencing only the last one measures pure device throughput without
+    # paying the host↔device round-trip per iteration (which dominates on
+    # tunneled platforms).  Each sample is a chain of `chain` calls.
+    chain = 4
     samples = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
-        samples.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(chain):
+            out = fn(*args, **kwargs)
+        fence(out)
+        samples.append((time.perf_counter() - t0) / chain)
 
     return {
         "median_s": statistics.median(samples),

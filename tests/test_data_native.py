@@ -1,0 +1,111 @@
+"""Data-layer and native-library tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from custereomatching_tpu.data import (
+    load_stereo_pair_npy,
+    make_stereo_pair,
+    make_video_batch,
+    render_camera,
+    save_stereo_pair_npz,
+    speckle_pattern,
+)
+
+
+def test_speckle_pattern_properties():
+    img = speckle_pattern(64, 96, seed=3)
+    assert img.shape == (64, 96) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert img.std() > 0.05  # has texture
+
+
+def test_render_camera_integer_shift():
+    proj = speckle_pattern(32, 48, seed=1)
+    disp = np.full((32, 48), 5.0, np.float32)
+    cam = render_camera(proj, disp)
+    np.testing.assert_allclose(cam[:, 5:], proj[:, :-5], atol=1e-6)
+    assert np.all(cam[:, :5] == 0)  # out-of-view left edge zeros
+
+
+def test_make_stereo_pair_recoverable():
+    """The generated scene is actually solvable by the matcher."""
+    import jax.numpy as jnp
+
+    from custereomatching_tpu.config import StereoConfig
+    from custereomatching_tpu.models import StereoMatcher
+
+    cam, proj, disp = make_stereo_pair(48, 64, scene="slant", d_min=2,
+                                       d_max=6, seed=0)
+    model = StereoMatcher(StereoConfig(kernel_size=7, num_disparities=8,
+                                       backend="xla"))
+    out = model(jnp.asarray(cam)[None], jnp.asarray(proj)[None])
+    m = np.asarray(out.mask[0]) > 0
+    err = np.abs(np.asarray(out.disparity[0]) - np.round(disp))[m]
+    assert m.mean() > 0.5
+    assert (err <= 1).mean() > 0.95
+
+
+def test_npz_roundtrip(tmp_path):
+    cam, proj, disp = make_stereo_pair(16, 24)
+    path = str(tmp_path / "pair.npz")
+    save_stereo_pair_npz(path, cam, proj, disp)
+    c2, p2 = load_stereo_pair_npy(path)
+    np.testing.assert_array_equal(c2, cam)
+    np.testing.assert_array_equal(p2, proj)
+
+
+def test_video_batch_shapes():
+    cams, projs, disps = make_video_batch(3, 16, 24)
+    assert cams.shape == projs.shape == disps.shape == (3, 16, 24)
+
+
+def test_native_library():
+    """Native decode/parse paths agree with numpy/PIL implementations."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+
+    arr = rng.random((5, 7, 9)).astype(np.float32)
+    np.save("/tmp/cst_test.npy", arr)
+    ld = native.load_npy_f32("/tmp/cst_test.npy")
+    assert ld.shape == arr.shape and np.array_equal(ld, arr)
+
+    u8 = (rng.random((11, 13)) * 255).astype(np.uint8)
+    np.testing.assert_allclose(native.u8_to_f32_gray(u8), u8 / 255.0,
+                               atol=1e-7)
+
+    a = rng.random((5, 7)).astype(np.float32)
+    pad = native.pad_image_f32(a, 10, 16, 2, 3)
+    assert np.array_equal(pad[2:7, 3:10], a)
+    mask = np.ones((10, 16), bool)
+    mask[2:7, 3:10] = False
+    assert (pad[mask] == 0).all()
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    img = (rng.random((37, 53, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save("/tmp/cst_test.png")
+    dec = native.decode_png_gray("/tmp/cst_test.png", 0)
+    np.testing.assert_allclose(dec, img[:, :, 0] / 255.0, atol=1e-6)
+
+
+def test_metrics():
+    import jax.numpy as jnp
+
+    from custereomatching_tpu.utils import disparity_metrics
+
+    pred = jnp.asarray([[1.0, 2.0, 10.0]])
+    truth = jnp.asarray([[1.0, 3.5, 2.0]])
+    m = disparity_metrics(pred, truth)
+    np.testing.assert_allclose(m["epe"], (0 + 1.5 + 8) / 3, rtol=1e-6)
+    np.testing.assert_allclose(m["bad3"], 1 / 3, rtol=1e-6)
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    m2 = disparity_metrics(pred, truth, mask)
+    np.testing.assert_allclose(m2["epe"], 0.75, rtol=1e-6)
