@@ -13,6 +13,7 @@ from custereomatching_tpu.parallel.sharded import (
     image_sharding,
     shard_batch,
     sharded_cost_volume,
+    sharded_disparity_maps,
     volume_sharding,
 )
 

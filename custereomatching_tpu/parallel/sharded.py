@@ -31,6 +31,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from custereomatching_tpu.config import StereoConfig
+from custereomatching_tpu.ops.pallas_pipeline import (
+    PipelineMaps,
+    pallas_stereo_pipeline,
+    stereo_pipeline_trainable,
+)
+from custereomatching_tpu.ops.pallas_zncc import stereo_matching_pallas
 from custereomatching_tpu.ops.zncc import _stereo_matching
 from custereomatching_tpu.parallel.halo import halo_exchange
 
@@ -50,6 +56,27 @@ def volume_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, VOLUME_SPEC)
 
 
+def _pair_op(config: StereoConfig):
+    """Single-pair cost-volume op for the resolved backend."""
+    backend = config.resolved_backend()
+    if backend.startswith("pallas") and config.num_disparities is not None:
+        interp = backend == "pallas_interpret"
+
+        def one(cam, proj):
+            return stereo_matching_pallas(
+                cam, proj, config.num_disparities, config.kernel_size,
+                config.epsilon, interp)
+
+        return one, True  # map sequentially (hand-rolled DMA kernel)
+
+    def one(cam, proj):
+        return _stereo_matching(cam, proj, config.num_disparities,
+                                config.kernel_size, config.epsilon,
+                                config.precision)
+
+    return one, False
+
+
 def _local_cost_volume(camera, projector, config: StereoConfig):
     """Per-shard computation: halo-extend rows, run the op, crop the halo.
 
@@ -60,12 +87,11 @@ def _local_cost_volume(camera, projector, config: StereoConfig):
     cam_e = halo_exchange(camera, halo, "space", axis=1)
     proj_e = halo_exchange(projector, halo, "space", axis=1)
 
-    def one(cam, proj):
-        return _stereo_matching(cam, proj, config.num_disparities,
-                                config.kernel_size, config.epsilon,
-                                config.precision)
-
-    cv_e = jax.vmap(one)(cam_e, proj_e)
+    one, sequential = _pair_op(config)
+    if sequential:
+        cv_e = jax.lax.map(lambda cp: one(cp[0], cp[1]), (cam_e, proj_e))
+    else:
+        cv_e = jax.vmap(one)(cam_e, proj_e)
     # Windows centered in halo rows belong to the neighbor shard; crop them.
     h_local = camera.shape[1]
     return lax.slice_in_dim(cv_e, halo, halo + h_local, axis=1)
@@ -97,6 +123,70 @@ def sharded_cost_volume(
         mesh=mesh,
         in_specs=(IMAGE_SPEC, IMAGE_SPEC),
         out_specs=VOLUME_SPEC,
+        # Pallas calls inside shard_map cannot declare varying-mesh-axes
+        # metadata on their out_shapes; skip the vma check.
+        check_vma=False,
+    )
+    return fn(camera, projector)
+
+
+def _local_disparity_maps(camera, projector, config: StereoConfig,
+                          trainable: bool):
+    """Per-shard fused pipeline: halo-extend rows, run the fused kernel on
+    the extended block, crop the halo rows of the output maps."""
+    halo = config.pad
+    cam_e = halo_exchange(camera, halo, "space", axis=1)
+    proj_e = halo_exchange(projector, halo, "space", axis=1)
+    backend = config.resolved_backend()
+    interp = backend == "pallas_interpret"
+    fn = stereo_pipeline_trainable if trainable else pallas_stereo_pipeline
+
+    def one(cp):
+        if trainable:
+            return fn(cp[0], cp[1], config.num_disparities,
+                      config.kernel_size, config.epsilon,
+                      config.softargmax_beta, config.cost_threshold, interp)
+        return fn(cp[0], cp[1], config.num_disparities, config.kernel_size,
+                  config.epsilon, config.softargmax_beta,
+                  config.cost_threshold, 32, 40, interp)
+
+    maps_e = jax.lax.map(one, (cam_e, proj_e))
+    h_local = camera.shape[1]
+    crop = lambda x: lax.slice_in_dim(x, halo, halo + h_local, axis=1)
+    return PipelineMaps(*(crop(m) for m in maps_e))
+
+
+def sharded_disparity_maps(
+    camera: jax.Array,
+    projector: jax.Array,
+    config: StereoConfig,
+    mesh: Mesh,
+    *,
+    trainable: bool = False,
+) -> PipelineMaps:
+    """Fused volume-free disparity pipeline, sharded over ``(data, space)``.
+
+    Combines the two headline features: the fused Pallas pipeline (no
+    cost volume in HBM) and spatial scale-out (row shards + ppermute halo
+    exchange over ICI).  ``trainable=True`` uses the differentiable
+    variant (camera gradients flow; halo-row gradients return to their
+    owner shard via the transposed ppermute).
+
+    Requires a Pallas-capable backend and banded mode.
+    """
+    if config.num_disparities is None:
+        raise ValueError("fused sharded pipeline requires banded mode")
+    if not config.resolved_backend().startswith("pallas"):
+        raise ValueError(
+            "fused sharded pipeline requires a pallas backend; use "
+            "sharded_cost_volume + the XLA head instead")
+    fn = jax.shard_map(
+        functools.partial(_local_disparity_maps, config=config,
+                          trainable=trainable),
+        mesh=mesh,
+        in_specs=(IMAGE_SPEC, IMAGE_SPEC),
+        out_specs=PipelineMaps(MAP_SPEC, MAP_SPEC, MAP_SPEC, MAP_SPEC),
+        check_vma=False,
     )
     return fn(camera, projector)
 
