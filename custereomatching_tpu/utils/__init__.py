@@ -5,6 +5,11 @@ from custereomatching_tpu.utils.metrics import (
     disparity_metrics,
     end_point_error,
 )
+from custereomatching_tpu.utils.profiling import (
+    device_specs,
+    trace,
+    zncc_roofline,
+)
 from custereomatching_tpu.utils.timer import Timer, TimerError, benchmark
 
 __all__ = [
@@ -12,6 +17,9 @@ __all__ = [
     "TimerError",
     "bad_pixel_rate",
     "benchmark",
+    "device_specs",
     "disparity_metrics",
     "end_point_error",
+    "trace",
+    "zncc_roofline",
 ]
