@@ -31,7 +31,10 @@ def speckle_pattern(height: int, width: int, *, dot_density: float = 0.08,
     rng = np.random.default_rng(seed)
     img = (rng.random((height, width)) < dot_density).astype(np.float32)
     if dot_sigma > 0:
-        radius = max(1, int(3 * dot_sigma))
+        # np.convolve(mode="same") returns the LONGER of the two inputs;
+        # cap the kernel below the image extent so small images work.
+        radius = max(1, min(int(3 * dot_sigma),
+                            (min(height, width) - 1) // 2))
         x = np.arange(-radius, radius + 1, dtype=np.float32)
         g = np.exp(-0.5 * (x / dot_sigma) ** 2)
         g /= g.sum()

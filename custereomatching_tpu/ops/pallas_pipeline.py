@@ -172,6 +172,11 @@ def _pipeline_forward_full(
 
     n_d = -(-(D + 1) // int(block_disparities))
     dt = _round_up(-(-(D + 1) // n_d), 8)
+    if n_d == 1:
+        # Single disparity tile: DMA+stats, the whole unrolled loop and
+        # the epilogue share one grid step, so Mosaic's live-range peak is
+        # higher — trim the row tile to stay inside the VMEM stack.
+        hb = min(hb, 16)
 
     wo = _round_up(max(W, 128), 128)
     wcc = _round_up(wo + 2 * p, 128)

@@ -6,6 +6,11 @@ multi-device code of any kind (survey §2.4, §5.8).
 
 from custereomatching_tpu.parallel.halo import halo_exchange
 from custereomatching_tpu.parallel.mesh import default_mesh_config, make_mesh
+from custereomatching_tpu.parallel.multihost import (
+    initialize_multihost,
+    make_global_mesh,
+    process_local_batch_slice,
+)
 from custereomatching_tpu.parallel.sharded import (
     IMAGE_SPEC,
     MAP_SPEC,
