@@ -121,8 +121,17 @@ def main() -> None:
     batched = jax.jit(
         lambda c, p: model.disparity_maps(c, p).soft_disparity)
 
+    # Pyramid model family (coarse-to-fine; approximate algorithm, so it
+    # is reported but is NOT the headline parity metric).
+    from custereomatching_tpu.models import PyramidStereoMatcher
+
+    pyr_model = PyramidStereoMatcher(model.config)
+    pyramid = jax.jit(
+        lambda c, p: pyr_model(c[None], p[None]).soft_disparity)
+
     t_pipe = _time(pipeline, camera, projector)
     t_batch = _time(batched, cam_b, proj_b) / B
+    t_pyr = _time(pyramid, camera, projector)
     t_train = _time(train_step, camera, projector, target)
     t_fwd = _time(fwd, camera, projector)
     t_fwdbwd = _time(fwd_bwd, camera, projector)
@@ -137,6 +146,7 @@ def main() -> None:
         f"[bench] device={kind!r} backend={backend} kitti {H}x{W} D={D} k={K}: "
         f"fused pipeline {t_pipe*1e3:.2f} ms ({fps:.1f} fps), "
         f"batched B={B} {t_batch*1e3:.2f} ms/frame ({1.0/t_batch:.1f} fps), "
+        f"pyramid {t_pyr*1e3:.2f} ms ({1.0/t_pyr:.1f} fps), "
         f"fused train step {t_train*1e3:.2f} ms ({1.0/t_train:.1f} steps/s), "
         f"volume fwd {t_fwd*1e3:.2f} ms ({1.0/t_fwd:.1f} fps), "
         f"volume fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "

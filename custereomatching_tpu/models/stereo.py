@@ -139,6 +139,11 @@ class StereoMatcher:
                     c.epsilon, c.softargmax_beta, c.cost_threshold,
                     32, 40, interp)
 
+            if camera.shape[0] == 1:
+                # lax.map's single-iteration scan still costs ~0.4 ms of
+                # XLA loop glue at KITTI scale; call directly.
+                maps = one((camera[0], projector[0]))
+                return jax.tree_util.tree_map(lambda x: x[None], maps)
             return jax.lax.map(one, (camera, projector))
         out = self(camera, projector)
         return PipelineMaps(disparity=out.disparity,
@@ -167,6 +172,9 @@ class StereoMatcher:
                     cp[0], cp[1], c.num_disparities, c.kernel_size,
                     c.epsilon, c.softargmax_beta, c.cost_threshold, interp)
 
+            if camera.shape[0] == 1:
+                maps = one((camera[0], projector[0]))
+                return jax.tree_util.tree_map(lambda x: x[None], maps)
             return jax.lax.map(one, (camera, projector))
         out = self(camera, projector)
         return PipelineMaps(disparity=out.disparity,

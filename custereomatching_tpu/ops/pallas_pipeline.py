@@ -122,20 +122,25 @@ def _fused_kernel(cam_hbm, proj_hbm,
         # stores cut the value chains so Mosaic can reuse the loop
         # temporaries (threading them as values keeps every unrolled
         # iteration's intermediates live at once → VMEM-stack OOM).
-        m = m_scr[:, :]
-        better = jnp.logical_and(c > m, valid)
-        m_new = jnp.where(better, c, m)
-        # Online softmax: rescale the running sums when the max improves.
-        scale = jnp.exp(beta * (m - m_new))
-        e = jnp.where(valid, jnp.exp(beta * (c - m_new)), 0.0)
+        # Online softmax with ONE exp per plane: em = e^{β(c−m)}.  When
+        # the max improves (em > 1) the running sums rescale by 1/em and
+        # the new plane contributes 1; otherwise they keep their scale
+        # and the plane contributes em.  m is kept β-scaled (bm = β·m)
+        # so each plane costs one multiply, one exp, one reciprocal.
+        bm = m_scr[:, :]
+        bc = beta * c
+        em = jnp.where(valid, jnp.exp(bc - bm), 0.0)
+        better = em > 1.0                    # ⇔ (c > m) ∧ valid
+        scale = jnp.where(better, 1.0 / em, 1.0)
+        e = jnp.where(better, 1.0, em)
         s_scr[:, :] = s_scr[:, :] * scale + e
         t_scr[:, :] = t_scr[:, :] * scale + d_f * e
         am_scr[:, :] = jnp.where(better, d_f, am_scr[:, :])
-        m_scr[:, :] = m_new
+        m_scr[:, :] = jnp.where(better, bc, bm)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
-        conf = m_scr[:, :]
+        conf = m_scr[:, :] * (1.0 / beta)    # m is kept β-scaled
         mask = (conf > threshold).astype(conf.dtype)
         conf_ref[:, :] = conf
         mask_ref[:, :] = mask
@@ -234,9 +239,9 @@ def _pipeline_forward_full(
     return am, soft, mask, conf, s, t
 
 
-def _pipeline_forward(camera, projector, num_disparities, kernel_size,
-                      epsilon, beta, threshold, block_rows,
-                      block_disparities, interpret):
+def _pipeline_forward(camera, projector, num_disparities, kernel_size=15,
+                      epsilon=EPSILON, beta=50.0, threshold=0.6,
+                      block_rows=32, block_disparities=40, interpret=False):
     H, W = camera.shape
     am, soft, mask, conf, _, _ = _pipeline_forward_full(
         camera, projector, num_disparities, kernel_size, epsilon, beta,
