@@ -63,19 +63,35 @@ def _readback(x) -> float:
     return float(leaf.reshape(-1)[0])
 
 
-def _time(fn, *args, iters: int = 40, warmup: int = 3) -> float:
-    """Seconds per call.  Dispatches ``iters`` calls and forces one
-    readback at the end — device execution is in-order, so the readback
-    of the last result fences all of them; per-call overhead of the host
-    roundtrip is amortized away."""
+def _chain(fn, args, n: int, repeats: int) -> float:
+    """Best total wall time of ``n`` back-to-back dispatches + one fence."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        _readback(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 3,
+          warmup: int = 3) -> float:
+    """Steady-state seconds per call, measured as a slope.
+
+    Device execution is in-order; a chain of n dispatches fenced by one
+    host readback costs ``fixed + n·t`` where ``fixed`` is the
+    host↔device roundtrip (tens of ms through the tunnel on this
+    platform).  Timing two chain lengths and taking the slope cancels
+    ``fixed`` exactly — this measures pure device throughput, the number
+    that governs a production stream of frames.
+    """
     for _ in range(warmup):
         _readback(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    _readback(out)
-    return (time.perf_counter() - t0) / iters
+    t1 = _chain(fn, args, n1, repeats)
+    t2 = _chain(fn, args, n2, repeats)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def main() -> None:
