@@ -215,6 +215,9 @@ def pallas_cost_volume_banded_hdw(
         raise ValueError(
             f"expected matching [H, W] images, got {camera.shape} vs "
             f"{projector.shape}")
+    if kernel_size < 1 or kernel_size % 2 != 1:
+        raise ValueError(
+            f"kernel_size must be odd and >= 1, got {kernel_size}")
     H, W = camera.shape
     D = int(num_disparities)
     k = int(kernel_size)

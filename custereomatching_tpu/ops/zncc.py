@@ -185,6 +185,10 @@ def _forward(camera, projector, num_disparities, k, eps, precision):
         raise ValueError(
             f"expected matching [H, W] images, got {camera.shape} vs "
             f"{projector.shape}")
+    if k < 1 or k % 2 != 1:
+        # The reference implicitly assumes odd k via integer halving
+        # (custma/src/stereo_matching_kernel.cu:44); make it explicit.
+        raise ValueError(f"kernel_size must be odd and >= 1, got {k}")
     if num_disparities is None:
         return _forward_allpairs(camera, projector, k, eps, precision)
     return _forward_banded(camera, projector, num_disparities, k, eps,
