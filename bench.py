@@ -94,6 +94,30 @@ def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 3,
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
+def _epe_parity_check(model) -> str:
+    """EPE of the Pallas pipeline vs ground truth AND vs the XLA
+    (golden-pinned) path on a synthetic KITTI-scale scene — the parity
+    clause of the BASELINE metric."""
+    from custereomatching_tpu.data import make_stereo_pair
+    from custereomatching_tpu.ops import extract_disparity
+    from custereomatching_tpu.utils import disparity_metrics
+
+    cam, proj, truth = make_stereo_pair(H, W, d_min=4.0, d_max=40.0,
+                                        noise=0.01, seed=0)
+    cam, proj = jnp.asarray(cam), jnp.asarray(proj)
+    maps = model.disparity_maps(cam[None], proj[None])
+    m = disparity_metrics(maps.soft_disparity[0], jnp.asarray(truth),
+                          maps.mask[0])
+    from custereomatching_tpu.ops import stereo_matching
+
+    ref = extract_disparity(stereo_matching(cam, proj, D, K),
+                            num_disparities=D)
+    dvs = float(jnp.max(jnp.abs(maps.disparity[0] - ref.disparity)))
+    return (f"EPE vs truth {m['epe']:.4f} px (bad3 {m['bad3']:.4f}, "
+            f"coverage {m['coverage']:.4f}); hard-disparity max diff vs "
+            f"XLA path {dvs:g}")
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     camera = jnp.asarray(rng.random((H, W), dtype=np.float32))
@@ -170,6 +194,10 @@ def main() -> None:
         f"({volume_bytes/1e9:.3f} GB/frame)",
         file=sys.stderr,
     )
+    try:
+        print(f"[bench] parity: {_epe_parity_check(model)}", file=sys.stderr)
+    except Exception as e:  # parity report must never break the bench
+        print(f"[bench] parity check skipped: {e}", file=sys.stderr)
     try:
         from custereomatching_tpu.utils import zncc_roofline
 

@@ -79,3 +79,24 @@ def test_pyramid_pallas_interpret_backend():
 def test_pyramid_requires_banded():
     with pytest.raises(ValueError):
         PyramidStereoMatcher(StereoConfig(num_disparities=None))
+
+
+def test_lr_consistency_improves_occlusions():
+    """Left-right checking removes occluded/ambiguous pixels: error rate
+    among surviving pixels improves, at some coverage cost."""
+    from custereomatching_tpu.data import make_stereo_pair
+
+    cam, proj, dtrue = make_stereo_pair(64, 128, scene="box", d_min=3,
+                                        d_max=12, noise=0.01, seed=0)
+    model = StereoMatcher(StereoConfig(kernel_size=9, num_disparities=16,
+                                       backend="xla"))
+    camb, projb = jnp.asarray(cam)[None], jnp.asarray(proj)[None]
+    plain = model.disparity_maps(camb, projb)
+    lr = model.disparity_maps_lr(camb, projb, tolerance=1.0)
+    mp = disparity_metrics(plain.soft_disparity[0], jnp.asarray(dtrue),
+                           plain.mask[0])
+    ml = disparity_metrics(lr.soft_disparity[0], jnp.asarray(dtrue),
+                           lr.mask[0])
+    assert ml["epe"] < mp["epe"]
+    assert ml["bad3"] < mp["bad3"]
+    assert ml["coverage"] > 0.8
