@@ -8,6 +8,7 @@ from custereomatching_tpu.models.optimize import (
     make_train_step,
     optimize_camera,
 )
+from custereomatching_tpu.models.engine import StereoEngine
 from custereomatching_tpu.models.pyramid import PyramidStereoMatcher
 from custereomatching_tpu.models.stereo import StereoMatcher, StereoOutput
 

@@ -103,3 +103,29 @@ def test_k1_window():
     got = np.asarray(stereo_matching(cam, proj, 3, 1))
     want = np.asarray(zncc_cost_volume(cam, proj, 3, 1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_stereo_engine_bucketing():
+    """Bucket padding is exact under the zero-pad convention: results for
+    an odd-sized frame equal the direct (unpadded) computation."""
+    from custereomatching_tpu.models import StereoEngine, StereoMatcher
+
+    cfg = StereoConfig(kernel_size=5, num_disparities=6, backend="xla")
+    engine = StereoEngine(cfg, buckets=[(32, 64), (64, 128)])
+    rng = np.random.default_rng(0)
+    cam = rng.random((27, 50)).astype(np.float32)
+    proj = rng.random((27, 50)).astype(np.float32)
+    got = engine.infer(cam, proj)
+    want = StereoMatcher(cfg).disparity_maps(jnp.asarray(cam)[None],
+                                             jnp.asarray(proj)[None])
+    np.testing.assert_array_equal(got.disparity,
+                                  np.asarray(want.disparity[0]))
+    np.testing.assert_allclose(got.soft_disparity,
+                               np.asarray(want.soft_disparity[0]),
+                               rtol=1e-5, atol=1e-5)
+    # batched + too-large frame errors
+    got_b = engine.infer(cam[None], proj[None])
+    assert got_b.disparity.shape == (1, 27, 50)
+    with pytest.raises(ValueError):
+        engine.infer(np.zeros((100, 300), np.float32),
+                     np.zeros((100, 300), np.float32))
