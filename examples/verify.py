@@ -116,12 +116,12 @@ def main() -> int:
         g_ref = zncc_camera_grad(cam, proj, jnp.ones_like(cv_ref), D, K)
         scale = float(jnp.abs(g_ref).max())
         ok &= check("xla grad vs golden", g_xla / scale, g_ref / scale,
-                    1e-4, 1e-6)
+                    1e-4, 5e-6)
     else:
         g_ref = g_xla
         scale = float(jnp.abs(g_ref).max())
     ok &= check(f"pallas grad vs {oracle_name}", g_pl / scale,
-                g_ref / scale, 1e-4, 1e-6)
+                g_ref / scale, 1e-4, 5e-6)
 
     print("banded backward (random cotangent):")
     rng = np.random.default_rng(7)
@@ -135,7 +135,7 @@ def main() -> int:
         c, proj, D, K, 1e-8, args.interpret) * gr))(cam)
     scale = float(jnp.abs(g_ref).max())
     ok &= check(f"pallas grad vs {oracle_name}", g_pl / scale,
-                g_ref / scale, 1e-4, 1e-6)
+                g_ref / scale, 1e-4, 5e-6)
 
     # ---- all-pairs mode (the reference's actual [H, W, W] output) ------
     if not args.skip_allpairs:
@@ -155,7 +155,7 @@ def main() -> int:
             lambda c: jnp.sum(stereo_matching(c, proj, None, K)))(cam)
         scale = float(jnp.abs(g_gold).max())
         ok &= check("xla grad vs golden", g_xla / scale, g_gold / scale,
-                    1e-4, 1e-6)
+                    1e-4, 5e-6)
 
     print("VERIFY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
