@@ -64,11 +64,42 @@ def _round_up(x: int, m: int) -> int:
 def _win_sum(x: jax.Array, k: int, axis: int, out_len: int) -> jax.Array:
     """k-tap windowed sum along ``axis``: ``out[i] = Σ_{t<k} x[i+t]``.
 
-    Binary-tree evaluation — ⌈log₂k⌉ doubling adds plus one add per set
-    bit of k (7 ops for k=15 instead of 14 linear adds), which matters
-    doubly on TPU because every shifted slice is a lane/sublane relayout.
-    Requires ``x.shape[axis] >= out_len + k - 1``.
+    Binary-tree evaluation: ⌈log₂k⌉ doubling adds plus one op per set
+    bit of k — with a subtractive shortcut when k is just below a power
+    of two (k = 15: box16 − one tap = 5 adds/subs instead of 6, and two
+    fewer shifted slices, which matter doubly on TPU because every
+    shifted slice is a lane/sublane relayout).  Requires
+    ``x.shape[axis] >= out_len + k - 1``.
     """
+    # Subtractive form: with M = 2^⌈log₂k⌉ and deficit d = M − k,
+    # ``box_k[i] = box_{M/2}[i] + box_{M/2}[i + M/2] − Σ_{t=k..M-1} x[i+t]``
+    # — the extra taps cancel exactly whatever they contain, so this is
+    # valid whenever x physically extends to out_len + M − 1 taps (the
+    # kernels' padded bands always do).  Cheaper than the binary combine
+    # when 1 + d < popcount(k) − 1 (k=15: 5 ops instead of 6, and fewer
+    # shifted-slice relayouts).
+    m = 1 << k.bit_length()
+    deficit = m - k
+    if (0 < deficit < bin(k).count("1") - 1
+            and x.shape[axis] >= out_len + m - 1):
+        half = m // 2
+        sums = {1: x}
+        span = 1
+        while span < half:
+            prev = sums[span]
+            ln = prev.shape[axis] - span
+            sums[2 * span] = (
+                lax.slice_in_dim(prev, 0, ln, axis=axis)
+                + lax.slice_in_dim(prev, span, span + ln, axis=axis))
+            span *= 2
+        bh = sums[half]
+        # box_k[i] = box_half[i] + box_half[i + half] - Σ_{t=k..m-1} x[i+t]
+        out = (lax.slice_in_dim(bh, 0, out_len, axis=axis)
+               + lax.slice_in_dim(bh, half, half + out_len, axis=axis))
+        for t in range(k, m):
+            out = out - lax.slice_in_dim(x, t, t + out_len, axis=axis)
+        return out
+
     sums = {1: x}
     span = 1
     while 2 * span <= k:
