@@ -14,7 +14,6 @@ decoding when the bundled library has been built; see
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import numpy as np

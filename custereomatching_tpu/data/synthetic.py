@@ -13,7 +13,7 @@ can be scored against exact ground truth.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ the deployment surface the north star's "production serving" calls for.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

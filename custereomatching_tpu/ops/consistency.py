@@ -14,8 +14,6 @@ see models/pyramid.py).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,10 +15,9 @@ before any JAX computation.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 from custereomatching_tpu.config import MeshConfig

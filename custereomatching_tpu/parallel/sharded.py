@@ -23,10 +23,7 @@ zeros at true image borders — the reference's ``query_ij`` convention
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
