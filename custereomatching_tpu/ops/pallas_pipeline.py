@@ -541,7 +541,7 @@ def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
          jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)
     cam_grad = _fused_train_bwd_impl(
         camera, projector, maps_stack, num_disparities, kernel_size,
-        epsilon, beta, 32, 8, interpret)
+        epsilon, beta, 48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
