@@ -360,7 +360,7 @@ def _pallas_stereo_bwd(num_disparities, kernel_size, epsilon, interpret,
     camera, projector = residuals
     cam_grad = pallas_camera_grad_banded(
         camera, projector, g, num_disparities, kernel_size, epsilon,
-        32, 8, interpret)
+        48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -389,7 +389,7 @@ def _pallas_stereo_hdw_bwd(num_disparities, kernel_size, epsilon, interpret,
     camera, projector = residuals
     cam_grad = pallas_camera_grad_banded_hdw(
         camera, projector, g, num_disparities, kernel_size, epsilon,
-        32, 8, interpret)
+        48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 

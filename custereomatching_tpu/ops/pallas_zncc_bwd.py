@@ -276,7 +276,7 @@ def pallas_camera_grad_banded(
     num_disparities: int,
     kernel_size: int = 15,
     epsilon: float = EPSILON,
-    block_rows: int = 32,
+    block_rows: int = 48,
     block_disparities: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
@@ -330,7 +330,7 @@ def pallas_camera_grad_banded_hdw(
     num_disparities: int,
     kernel_size: int = 15,
     epsilon: float = EPSILON,
-    block_rows: int = 32,
+    block_rows: int = 48,
     block_disparities: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
