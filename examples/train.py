@@ -119,6 +119,21 @@ def main() -> None:
         restored = restore_checkpoint(args.ckpt_dir, state)
         if restored is not None:
             state = restored
+            if mesh is not None:
+                # orbax restores to the default device; re-place the state
+                # with the mesh shardings (camera-shaped leaves sharded,
+                # scalars replicated) or jit sees mixed device sets.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                img_sh = NamedSharding(mesh, P("data", "space", None))
+                rep = NamedSharding(mesh, P())
+
+                def place(x):
+                    x = jnp.asarray(x)
+                    return jax.device_put(
+                        x, img_sh if x.ndim == 3 else rep)
+
+                state = jax.tree_util.tree_map(place, state)
             print(f"resumed from step {int(state.step)}")
 
     step_fn = make_train_step(model, optimizer, mesh)

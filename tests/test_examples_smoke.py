@@ -1,0 +1,61 @@
+"""Smoke tests for the example scripts (tiny sizes, CPU backend).
+
+The reference's examples were unrunnable as shipped (missing data, stale
+argument shapes — survey §2.3 E5/E6); these tests pin ours to stay
+runnable from a clean checkout.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, timeout=timeout, cwd=REPO, env=env)
+
+
+def test_verify_script():
+    r = _run(["examples/verify.py", "--height", "24", "--width", "64",
+              "--disparities", "6", "-k", "5", "--interpret",
+              "--skip-allpairs"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "VERIFY: PASS" in r.stdout
+
+
+def test_demo_script(tmp_path):
+    png = str(tmp_path / "disp.png")
+    r = _run(["examples/demo.py", "--height", "32", "--width", "64",
+              "--disparities", "8", "-k", "5", "--backend", "xla",
+              "--save-png", png])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "pipeline latency" in r.stdout
+    assert os.path.exists(png)
+
+
+def test_train_script_with_mesh_and_ckpt(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    args = ["examples/train.py", "--steps", "4", "--height", "32",
+            "--width", "64", "--frames", "2", "--disparities", "8",
+            "-k", "5", "--mesh", "2x4", "--backend", "xla",
+            "--ckpt-dir", ckpt, "--ckpt-every", "2"]
+    r = _run(args)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "final disparity-vs-target" in r.stdout
+    # resume from the checkpoint
+    r2 = _run(args[:2] + ["6"] + args[3:])
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "resumed from step" in r2.stdout
+
+
+def test_video_depth_script():
+    r = _run(["examples/video_depth.py", "--frames", "2", "--height", "32",
+              "--width", "64", "--disparities", "8", "-k", "5",
+              "--backend", "xla"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "depth maps/s" in r.stdout
