@@ -26,6 +26,7 @@ import numpy as np
 from custereomatching_tpu.config import StereoConfig
 from custereomatching_tpu.models.stereo import StereoMatcher
 from custereomatching_tpu.ops.pallas_pipeline import PipelineMaps
+from custereomatching_tpu.utils.timer import fence
 
 # Default buckets: KITTI-scale, VGA-scale, and a small tile.
 DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
@@ -70,7 +71,9 @@ class StereoEngine:
         """Compile every bucket ahead of serving."""
         for bh, bw in self.buckets:
             z = jnp.zeros((1, bh, bw), jnp.float32)
-            jax.block_until_ready(self._fn(z, z))
+            # Readback fence: bare block_until_ready can return before the
+            # tunneled device actually executed the bucket (CLAUDE.md).
+            fence(self._fn(z, z))
             self._compiled[(bh, bw)] = True
 
     def infer(self, camera: np.ndarray,

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -74,6 +75,9 @@ int cst_decode_png_gray(const char* path, int channel, float* out,
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  // Adam7 support: libpng reports the pass count; with png_read_image
+  // below (whole-image row pointers) the passes are handled internally.
+  png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
   *height = static_cast<int32_t>(h);
@@ -91,13 +95,18 @@ int cst_decode_png_gray(const char* path, int channel, float* out,
 
   const size_t rowbytes = png_get_rowbytes(png, info);
   const int channels = static_cast<int>(rowbytes / w);
-  std::vector<png_byte> row(rowbytes);
   const int c = (channels > 1 && channel >= 0 && channel < channels)
                     ? channel
                     : 0;
+  // Whole-image read (not row streaming) so interlaced files decode
+  // correctly — libpng resolves Adam7 passes across the row pointers.
+  std::vector<png_byte> pixels(static_cast<size_t>(h) * rowbytes);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y) rows[y] = pixels.data() + y * rowbytes;
+  png_read_image(png, rows.data());
   constexpr float kInv255 = 1.0f / 255.0f;
   for (png_uint_32 y = 0; y < h; ++y) {
-    png_read_row(png, row.data(), nullptr);
+    const png_byte* row = rows[y];
     float* dst = out + static_cast<int64_t>(y) * w;
     for (png_uint_32 x = 0; x < w; ++x) {
       dst[x] = static_cast<float>(row[x * channels + c]) * kInv255;
@@ -154,12 +163,18 @@ int cst_load_npy_f32(const char* path, float* out, int64_t out_capacity,
   int64_t total = 1;
   for (int i = 0; i < 4; ++i) shape[i] = 1;
   const char* s = dims.c_str();
-  while (*s && nd < 4) {
+  while (*s) {
     while (*s == ' ' || *s == ',') ++s;
     if (!*s) break;
     char* end;
     long long v = std::strtoll(s, &end, 10);
     if (end == s) break;
+    // Reject hostile headers: non-positive dims, >4 dims, or a product
+    // that overflows int64 (any of which could over-read the file).
+    if (v <= 0 || nd >= 4 || total > INT64_MAX / v) {
+      std::fclose(fp);
+      return -4;
+    }
     shape[nd++] = v;
     total *= v;
     s = end;
@@ -186,7 +201,8 @@ int cst_load_npy_f32(const char* path, float* out, int64_t out_capacity,
 void cst_u8_to_f32_gray(const uint8_t* src, int64_t h, int64_t w,
                         int32_t channels, int32_t channel, float* dst) {
   constexpr float kInv255 = 1.0f / 255.0f;
-  const int32_t c = (channels > 1 && channel < channels) ? channel : 0;
+  const int32_t c =
+      (channels > 1 && channel >= 0 && channel < channels) ? channel : 0;
   for (int64_t y = 0; y < h; ++y) {
     const uint8_t* row = src + y * w * channels;
     float* out = dst + y * w;

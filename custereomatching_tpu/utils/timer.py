@@ -1,21 +1,22 @@
 """Wall-clock timing utilities and a JAX-correct benchmark harness.
 
 The reference's entire profiling subsystem is a wall-clock ``Timer``
-context manager (custma/utils.py:13-87) whose CUDA timings are wrong: it
-never synchronizes the device, so it measures async launch enqueue, not
-kernel runtime (used at examples/verify.py:65-68).  This module provides
-the same ergonomics (context manager, ``since_start`` /
-``since_last_check``, printf template) written fresh, plus a
-:func:`benchmark` harness that does it right for JAX:
-``block_until_ready()`` around every measured call, warmup iterations to
-exclude compilation, and median-of-N reporting.
+context manager (custma/utils.py:13-87, itself derived from OpenMMLab
+mmcv's Apache-2.0 ``Timer``) whose CUDA timings are wrong: it never
+synchronizes the device, so it measures async launch enqueue, not kernel
+runtime (used at examples/verify.py:65-68).  This module keeps only the
+reference Timer's *surface* (``with Timer("fwd {:.6f}s")``,
+``since_start`` / ``since_last_check``, ``TimerError``) so user code
+ports over; the implementation is a lap-stamp design of our own, and the
+real device-measurement story is :func:`benchmark`: readback-fenced,
+warmup-separated, chain-amortized median-of-N.
 """
 
 from __future__ import annotations
 
 import statistics
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 
@@ -24,30 +25,47 @@ class TimerError(Exception):
     """Raised when a Timer is queried while not running."""
 
 
+def fence(x: Any) -> Any:
+    """Reliable execution fence: block, then read one element back.
+
+    ``jax.block_until_ready`` alone is not trusted: on relayed/async
+    platforms (the axon tunnel) it can return before device execution
+    finishes; a host readback of one element cannot.  Returns ``x``.
+    """
+    jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves and hasattr(leaves[0], "reshape"):
+        float(jax.numpy.asarray(leaves[0]).reshape(-1)[0])
+    return x
+
+
 class Timer:
-    """Context-manager wall-clock timer.
+    """Context-manager wall-clock timer (API-compatible with
+    ``custma.Timer``, custma/utils.py:13-87).
 
-    API-compatible with the reference's ``custma.Timer``
-    (custma/utils.py:13-87): supports ``with Timer("fwd {:.6f}s"): ...``,
-    ``since_start()`` and ``since_last_check()``.
+    Internally a list of monotonic lap stamps: index 0 is the origin,
+    every query appends a stamp, and the two query methods are just
+    differences against the first / previous stamp.  An empty lap list
+    means "not running".
 
-    Note: this measures *host* wall-clock. For device work, pass
-    ``sync=jax.block_until_ready``-style callables to :func:`benchmark`
-    instead — the reference's misuse of wall-clock timers on async devices
-    is exactly the flaw this package avoids.
+    Note: this measures *host* wall-clock. For device work use
+    :func:`benchmark` — the reference's misuse of wall-clock timers on
+    async devices is exactly the flaw this package avoids.
     """
 
     def __init__(self, print_tmpl: Optional[str] = None, start: bool = True):
-        self._running = False
-        if print_tmpl is not None and "{" not in print_tmpl:
-            print_tmpl = print_tmpl + " {:.3f}"
-        self.print_tmpl = print_tmpl if print_tmpl else "{:.3f}"
+        if print_tmpl is None:
+            print_tmpl = "{:.3f}"
+        elif "{" not in print_tmpl:
+            print_tmpl = f"{print_tmpl} {{:.3f}}"
+        self.print_tmpl = print_tmpl
+        self._laps: List[float] = []
         if start:
             self.start()
 
     @property
     def is_running(self) -> bool:
-        return self._running
+        return bool(self._laps)
 
     def __enter__(self) -> "Timer":
         self.start()
@@ -55,27 +73,24 @@ class Timer:
 
     def __exit__(self, exc_type, exc_value, traceback) -> None:
         print(self.print_tmpl.format(self.since_last_check()))
-        self._running = False
+        self._laps.clear()
 
     def start(self) -> None:
-        if not self._running:
-            self._t_start = time.perf_counter()
-            self._running = True
-        self._t_last = time.perf_counter()
+        """Start the timer, or reset the last-check stamp if running."""
+        self._laps.append(time.perf_counter())
+
+    def _stamp(self) -> None:
+        if not self._laps:
+            raise TimerError("timer is not running")
+        self._laps.append(time.perf_counter())
 
     def since_start(self) -> float:
-        if not self._running:
-            raise TimerError("timer is not running")
-        self._t_last = time.perf_counter()
-        return self._t_last - self._t_start
+        self._stamp()
+        return self._laps[-1] - self._laps[0]
 
     def since_last_check(self) -> float:
-        if not self._running:
-            raise TimerError("timer is not running")
-        now = time.perf_counter()
-        dur = now - self._t_last
-        self._t_last = now
-        return dur
+        self._stamp()
+        return self._laps[-1] - self._laps[-2]
 
 
 def benchmark(
@@ -95,15 +110,6 @@ def benchmark(
     Returns a dict with ``median_s``, ``mean_s``, ``min_s``, ``max_s``,
     ``std_s`` and ``iters``.
     """
-
-    def fence(x):
-        # block_until_ready alone is not trusted: on relayed/async
-        # platforms it can return before execution finishes; a host
-        # readback of one element cannot.
-        jax.block_until_ready(x)
-        leaves = jax.tree_util.tree_leaves(x)
-        if leaves and hasattr(leaves[0], "reshape"):
-            float(jax.numpy.asarray(leaves[0]).reshape(-1)[0])
 
     for _ in range(warmup):
         fence(fn(*args, **kwargs))

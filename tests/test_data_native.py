@@ -96,6 +96,91 @@ def test_native_library():
     np.testing.assert_allclose(dec, img[:, :, 0] / 255.0, atol=1e-6)
 
 
+def _write_adam7_gray_png(path, img):
+    """Minimal Adam7-interlaced grayscale-8 PNG writer (PIL can't)."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    # (x0, y0, dx, dy) for the seven Adam7 passes.
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter type None
+            raw.extend(row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw))))
+        f.write(chunk(b"IEND", b""))
+
+
+def test_native_png_interlaced(tmp_path):
+    """Adam7-interlaced PNGs decode pixel-exact (advisor finding)."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    img = (rng.random((23, 31)) * 255).astype(np.uint8)
+    path = str(tmp_path / "adam7.png")
+    _write_adam7_gray_png(path, img)
+    try:
+        from PIL import Image
+
+        np.testing.assert_array_equal(np.asarray(Image.open(path)), img)
+    except ImportError:
+        pass
+    dec = native.decode_png_gray(path)
+    assert dec is not None
+    np.testing.assert_allclose(dec, img / 255.0, atol=1e-6)
+
+
+def _write_npy_with_header(path, header, payload=b""):
+    import struct
+
+    body = header.encode()
+    pad = (64 - (10 + len(body) + 1) % 64) % 64
+    body += b" " * pad + b"\n"
+    with open(path, "wb") as f:
+        f.write(b"\x93NUMPY\x01\x00")
+        f.write(struct.pack("<H", len(body)))
+        f.write(body)
+        f.write(payload)
+
+
+def test_native_npy_rejects_hostile_headers(tmp_path):
+    """Negative/overflowing/>4-dim shapes are rejected, not over-read."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    cases = {
+        "neg.npy": "{'descr': '<f4', 'fortran_order': False, "
+                   "'shape': (-3, 4), }",
+        "5d.npy": "{'descr': '<f4', 'fortran_order': False, "
+                  "'shape': (2, 2, 2, 2, 2), }",
+        "ovf.npy": "{'descr': '<f4', 'fortran_order': False, "
+                   "'shape': (4611686018427387904, 8), }",
+    }
+    for name, header in cases.items():
+        path = str(tmp_path / name)
+        _write_npy_with_header(path, header, b"\0" * 128)
+        assert native.load_npy_f32(path) is None, name
+
+
 def test_metrics():
     import jax.numpy as jnp
 
