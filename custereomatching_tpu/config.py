@@ -35,10 +35,13 @@ class StereoConfig:
       epsilon: numerical epsilon; placement matters for bit-parity — added
         to the numerator and inside the sqrt of the denominator
         (reference: custma/src/stereo_matching_kernel.cu:4,71).
-      grad_projector: if True the op also produces the projector-image
-        gradient. The reference never implemented it (its backward returns
-        None for the projector, reference: custma/stereo_matching_wrapper.py:33);
-        camera-only is therefore the parity default.
+      grad_projector: if True the model layer routes through
+        :func:`..ops.zncc.stereo_matching_with_proj_grad` so BOTH images
+        receive gradients (XLA autodiff of the moments form; the Pallas
+        backward is camera-only by design). The reference never implemented
+        a projector gradient (its backward returns None, reference:
+        custma/stereo_matching_wrapper.py:33); camera-only is therefore
+        the parity default.
       precision: "highest" forces fp32 MXU accumulation for parity with the
         reference's fp32 CUDA accumulators; "default" permits bf16 passes.
       backend: which forward implementation the model layer uses.

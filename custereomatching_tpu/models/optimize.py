@@ -55,6 +55,7 @@ def disparity_loss(model: StereoMatcher, camera: jax.Array,
     """Mean-squared error of the soft disparity against a target map."""
     banded = model.config.num_disparities is not None
     if (mesh is None and banded
+            and not model.config.grad_projector
             and model.config.resolved_backend().startswith("pallas")):
         # Fused trainable pipeline: no cost volume (or its cotangent) in
         # HBM, ~2x faster per step than the volume path on TPU.

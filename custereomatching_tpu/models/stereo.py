@@ -25,7 +25,10 @@ from custereomatching_tpu.ops.pallas_pipeline import (
     stereo_pipeline_trainable,
 )
 from custereomatching_tpu.ops.pallas_zncc import stereo_matching_pallas
-from custereomatching_tpu.ops.zncc import _stereo_matching
+from custereomatching_tpu.ops.zncc import (
+    _stereo_matching,
+    stereo_matching_with_proj_grad,
+)
 from custereomatching_tpu.parallel.sharded import sharded_cost_volume
 
 
@@ -66,8 +69,18 @@ class StereoMatcher:
     # -- single pair ------------------------------------------------------
     def cost_volume_single(self, camera: jax.Array,
                            projector: jax.Array) -> jax.Array:
-        """ZNCC cost volume for one ``[H, W]`` pair."""
+        """ZNCC cost volume for one ``[H, W]`` pair.
+
+        With ``config.grad_projector=True`` the op is differentiable in
+        BOTH images (XLA autodiff path — the hand-written Pallas backward
+        is camera-only like the reference, custma/stereo_matching_wrapper.py:33,
+        so projector training routes through the moments-form forward).
+        """
         c = self.config
+        if c.grad_projector:
+            return stereo_matching_with_proj_grad(
+                camera, projector, c.num_disparities, c.kernel_size,
+                c.epsilon, c.precision)
         backend = c.resolved_backend()
         if backend.startswith("pallas"):
             if c.num_disparities is None:
@@ -90,7 +103,8 @@ class StereoMatcher:
         batching rule for the hand-rolled DMA kernel); the XLA backend
         vmaps.
         """
-        if self.config.resolved_backend().startswith("pallas"):
+        if (self.config.resolved_backend().startswith("pallas")
+                and not self.config.grad_projector):
             return jax.lax.map(
                 lambda cp: self.cost_volume_single(cp[0], cp[1]),
                 (camera, projector))
@@ -161,7 +175,9 @@ class StereoMatcher:
         """
         c = self.config
         backend = c.resolved_backend()
-        if backend.startswith("pallas"):
+        # The fused trainable kernel's VJP is camera-only (reference
+        # parity); projector training must take the volume + XLA-head path.
+        if backend.startswith("pallas") and not c.grad_projector:
             if c.num_disparities is None:
                 raise ValueError("fused pipeline requires banded mode")
             interp = backend == "pallas_interpret"

@@ -127,3 +127,56 @@ def test_shape_validation():
     proj = jnp.zeros((4, 6))
     with pytest.raises(ValueError):
         zncc.stereo_matching(cam, proj, None, 3)
+
+
+def test_grad_projector_flag_routes_model_layer():
+    """StereoConfig.grad_projector wires the model to the both-grads op:
+    the projector gradient is nonzero and matches the golden oracle."""
+    from custereomatching_tpu.config import StereoConfig
+    from custereomatching_tpu.models import StereoMatcher
+
+    cam, proj = _pair(H=12, W=16, seed=9)
+    k, D = 5, 6
+    cfg = StereoConfig(kernel_size=k, num_disparities=D, grad_projector=True)
+    model = StereoMatcher(cfg)
+
+    def volume_sum(c, p):
+        return jnp.sum(model.cost_volume(c[None], p[None]))
+
+    gc, gp = jax.grad(volume_sum, argnums=(0, 1))(cam, proj)
+    ones = jnp.ones((12, 16, D + 1), jnp.float32)
+    want_p = golden.zncc_projector_grad(cam, proj, ones, D, k)
+    want_c = golden.zncc_camera_grad(cam, proj, ones, D, k)
+    assert float(jnp.max(jnp.abs(gp))) > 0
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(want_p),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(want_c),
+                               rtol=1e-3, atol=2e-4)
+
+    # The camera-only default is unchanged (parity): zero projector grad.
+    model0 = StereoMatcher(StereoConfig(kernel_size=k, num_disparities=D,
+                                        backend="xla"))
+
+    def volume_sum0(c, p):
+        return jnp.sum(model0.cost_volume(c[None], p[None]))
+
+    gp0 = jax.grad(volume_sum0, argnums=1)(cam, proj)
+    assert float(jnp.max(jnp.abs(gp0))) == 0.0
+
+
+def test_grad_projector_train_step_moves_loss():
+    """disparity_loss honors grad_projector (no silent fused-path bypass)."""
+    import optax
+
+    from custereomatching_tpu.config import StereoConfig
+    from custereomatching_tpu.models import StereoMatcher
+    from custereomatching_tpu.models.optimize import disparity_loss
+
+    cam, proj = _pair(H=12, W=16, seed=10)
+    cfg = StereoConfig(kernel_size=5, num_disparities=6, grad_projector=True)
+    model = StereoMatcher(cfg)
+    target = jnp.zeros((1, 12, 16), jnp.float32)
+    g = jax.grad(
+        lambda p: disparity_loss(model, cam[None], p, target))(proj[None])
+    assert float(jnp.max(jnp.abs(g))) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
