@@ -118,6 +118,67 @@ def _epe_parity_check(model) -> str:
             f"XLA path {dvs:g}")
 
 
+def _secondary_reports(model, backend: str, fps: float) -> None:
+    """Reference-workload timing, pyramid accuracy, serving latency."""
+    from custereomatching_tpu.data import make_stereo_pair
+    from custereomatching_tpu.ops import stereo_matching
+    from custereomatching_tpu.utils import disparity_metrics
+
+    # The reference's OWN verify workload (330x422, D=200 ignored →
+    # all-pairs [H, W, W], k=15; /root/reference/examples/verify.py:10-13)
+    # through the MXU einsum path — BASELINE configs 1-2.
+    Hr, Wr = 330, 422
+    rng = np.random.default_rng(1)
+    cam_r = jnp.asarray(rng.random((Hr, Wr), dtype=np.float32))
+    proj_r = jnp.asarray(rng.random((Hr, Wr), dtype=np.float32))
+    ap_fwd = jax.jit(lambda c, p: stereo_matching(c, p, None, K))
+
+    def ap_loss(c, p):
+        # all-ones cotangent: the reference's backward protocol
+        # (examples/verify.py:67-68).
+        return jnp.sum(stereo_matching(c, p, None, K))
+
+    ap_fwd_bwd = jax.jit(jax.grad(ap_loss))
+    t_ap = _time(ap_fwd, cam_r, proj_r, n1=4, n2=16)
+    t_ap_fb = _time(ap_fwd_bwd, cam_r, proj_r, n1=4, n2=16)
+    print(f"[bench] reference verify workload {Hr}x{Wr} all-pairs k={K}: "
+          f"fwd {t_ap*1e3:.2f} ms ({1.0/t_ap:.1f} fps), fwd+bwd "
+          f"{t_ap_fb*1e3:.2f} ms ({1.0/t_ap_fb:.1f} fps) [XLA/MXU path]",
+          file=sys.stderr)
+
+    # Pyramid accuracy next to its speed (approximate algorithm).
+    from custereomatching_tpu.models import PyramidStereoMatcher
+
+    cam, proj, truth = make_stereo_pair(H, W, d_min=4.0, d_max=40.0,
+                                        noise=0.01, seed=0)
+    cam, proj = jnp.asarray(cam), jnp.asarray(proj)
+    pyr = PyramidStereoMatcher(model.config)
+    pm = pyr(cam[None], proj[None])
+    met = disparity_metrics(pm.soft_disparity[0], jnp.asarray(truth),
+                            pm.mask[0])
+    print(f"[bench] pyramid accuracy: EPE {met['epe']:.4f} px, bad3 "
+          f"{met['bad3']:.4f}, coverage {met['coverage']:.4f} "
+          f"(approximate model; compare headline EPE above)",
+          file=sys.stderr)
+
+    # Serving-engine bucket latency: KITTI 375x1242 pads to the 384x1280
+    # bucket; measures the padded-bucket device time (the pad overhead the
+    # engine pays for warm shapes).  Host↔device copies are excluded —
+    # through this tunnel they'd measure the relay, not the engine.
+    from custereomatching_tpu.models.engine import StereoEngine
+
+    eng = StereoEngine(model.config, buckets=[(384, 1280)])
+    eng.warmup()
+    bc = jnp.zeros((1, 384, 1280), jnp.float32).at[0, :H, :W].set(cam)
+    bp = jnp.zeros((1, 384, 1280), jnp.float32).at[0, :H, :W].set(proj)
+    t_eng = _time(lambda c, p: eng._fn(c, p).soft_disparity, bc, bp,
+                  n1=4, n2=16)
+    print(f"[bench] serving engine bucket 384x1280 (warm, device-side): "
+          f"{t_eng*1e3:.2f} ms/frame ({1.0/t_eng:.1f} fps); bucket-pad "
+          f"overhead vs raw pipeline {(t_eng*fps-1)*100:+.1f}%",
+          file=sys.stderr)
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     camera = jnp.asarray(rng.random((H, W), dtype=np.float32))
@@ -188,11 +249,36 @@ def main() -> None:
         "vs_baseline": round(fps / bound_fps, 4),
     }), flush=True)
 
+    # Production-layout volume op (padded HDW, no parity transpose): the
+    # training path's actual volume surface; the parity [H, W, D+1] layout
+    # is an explicitly-priced adapter on top (docs/PARITY.md).
+    from custereomatching_tpu.ops.pallas_zncc import (
+        stereo_matching_pallas_hdw)
+    from custereomatching_tpu.ops.disparity import extract_disparity_hdw
+
+    use_pallas = backend.startswith("pallas")
+    if use_pallas:
+        fwd_hdw = jax.jit(
+            lambda c, p: stereo_matching_pallas_hdw(c, p, D, K))
+
+        def fwd_bwd_hdw(cam, proj):
+            def loss(c):
+                v = stereo_matching_pallas_hdw(c, proj, D, K)
+                # Sum over the valid extent only (padded entries are
+                # garbage and must carry zero cotangent).
+                return jnp.sum(v[:H, :D + 1, :W])
+            return jax.grad(loss)(cam)
+
+        fwd_bwd_hdw = jax.jit(fwd_bwd_hdw)
+
     t_batch = _time(batched, cam_b, proj_b) / B
     t_pyr = _time(pyramid, camera, projector)
     t_train = _time(train_step, camera, projector, target)
     t_fwd = _time(fwd, camera, projector)
     t_fwdbwd = _time(fwd_bwd, camera, projector)
+    t_fwd_h = _time(fwd_hdw, camera, projector) if use_pallas else t_fwd
+    t_fwdbwd_h = (_time(fwd_bwd_hdw, camera, projector)
+                  if use_pallas else t_fwdbwd)
 
     volume_bytes = H * W * (D + 1) * 4
     image_bytes = 2 * H * W * 4
@@ -205,12 +291,18 @@ def main() -> None:
         f"batched B={B} {t_batch*1e3:.2f} ms/frame ({1.0/t_batch:.1f} fps), "
         f"pyramid {t_pyr*1e3:.2f} ms ({1.0/t_pyr:.1f} fps), "
         f"fused train step {t_train*1e3:.2f} ms ({1.0/t_train:.1f} steps/s), "
-        f"volume fwd {t_fwd*1e3:.2f} ms ({1.0/t_fwd:.1f} fps), "
-        f"volume fwd+bwd {t_fwdbwd*1e3:.2f} ms ({1.0/t_fwdbwd:.1f} fps), "
+        f"volume fwd {t_fwd_h*1e3:.2f} ms ({1.0/t_fwd_h:.1f} fps) "
+        f"/ fwd+bwd {t_fwdbwd_h*1e3:.2f} ms ({1.0/t_fwdbwd_h:.1f} fps), "
+        f"parity-layout adapter fwd {t_fwd*1e3:.2f} ms "
+        f"/ fwd+bwd {t_fwdbwd*1e3:.2f} ms, "
         f"volume-write speed-of-light {sol_fps:.1f} fps "
         f"({volume_bytes/1e9:.3f} GB/frame)",
         file=sys.stderr,
     )
+    try:
+        _secondary_reports(model, backend, fps)
+    except Exception as e:  # secondary reporting must never break the bench
+        print(f"[bench] secondary reports skipped: {e}", file=sys.stderr)
     try:
         print(f"[bench] parity: {_epe_parity_check(model)}", file=sys.stderr)
     except Exception as e:  # parity report must never break the bench

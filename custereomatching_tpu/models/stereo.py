@@ -15,6 +15,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from custereomatching_tpu.config import StereoConfig
@@ -30,6 +31,35 @@ from custereomatching_tpu.ops.zncc import (
     stereo_matching_with_proj_grad,
 )
 from custereomatching_tpu.parallel.sharded import sharded_cost_volume
+
+
+def _run_stacked(one_fn, camera: jax.Array, projector: jax.Array,
+                 kernel_size: int):
+    """Run a single-pair map pipeline over a batch in ONE kernel launch.
+
+    Frames are stacked along H with a ``2·(k//2)`` zero-row gap between
+    them.  Under the zero-padding window convention (reference
+    ``query_ij``, custma/src/stereo_matching_kernel.cu:6-12) the gap is
+    exactly as wide as a window's reach, so every in-frame output is
+    bit-identical to running the frame alone; the gap rows' outputs are
+    sliced away.  Versus ``lax.map`` this trades ~2p/(H+2p) extra rows of
+    compute (~4% at KITTI scale) for B−1 fewer kernel dispatches and no
+    XLA loop glue — batching becomes strictly cheaper per frame.
+
+    Gradients are exact too: un-stacking is a pad/reshape whose transpose
+    scatters zeros into the gap rows, satisfying the zero-cotangent
+    contract of the fused backward.
+    """
+    B, H, W = camera.shape
+    gap = 2 * (kernel_size // 2)
+    hs = H + gap
+
+    def stack(x):
+        return jnp.pad(x, ((0, 0), (0, gap), (0, 0))).reshape(B * hs, W)
+
+    maps = one_fn(stack(camera), stack(projector))
+    return jax.tree_util.tree_map(
+        lambda m: m.reshape(B, hs, W)[:, :H], maps)
 
 
 class StereoOutput(NamedTuple):
@@ -146,18 +176,19 @@ class StereoMatcher:
 
             interp = backend == "pallas_interpret"
 
-            def one(cp):
+            def one(cam, proj):
                 return pallas_stereo_pipeline(
-                    cp[0], cp[1], c.num_disparities, c.kernel_size,
+                    cam, proj, c.num_disparities, c.kernel_size,
                     c.epsilon, c.softargmax_beta, c.cost_threshold,
                     32, 40, interp)
 
             if camera.shape[0] == 1:
-                # lax.map's single-iteration scan still costs ~0.4 ms of
-                # XLA loop glue at KITTI scale; call directly.
-                maps = one((camera[0], projector[0]))
+                # Stacking a single frame only adds gap-row compute.
+                maps = one(camera[0], projector[0])
                 return jax.tree_util.tree_map(lambda x: x[None], maps)
-            return jax.lax.map(one, (camera, projector))
+            # One kernel launch for the whole batch (frames stacked along
+            # H) — beats per-frame dispatch (see _run_stacked).
+            return _run_stacked(one, camera, projector, c.kernel_size)
         out = self(camera, projector)
         return PipelineMaps(disparity=out.disparity,
                             soft_disparity=out.soft_disparity,
@@ -182,15 +213,15 @@ class StereoMatcher:
                 raise ValueError("fused pipeline requires banded mode")
             interp = backend == "pallas_interpret"
 
-            def one(cp):
+            def one(cam, proj):
                 return stereo_pipeline_trainable(
-                    cp[0], cp[1], c.num_disparities, c.kernel_size,
+                    cam, proj, c.num_disparities, c.kernel_size,
                     c.epsilon, c.softargmax_beta, c.cost_threshold, interp)
 
             if camera.shape[0] == 1:
-                maps = one((camera[0], projector[0]))
+                maps = one(camera[0], projector[0])
                 return jax.tree_util.tree_map(lambda x: x[None], maps)
-            return jax.lax.map(one, (camera, projector))
+            return _run_stacked(one, camera, projector, c.kernel_size)
         out = self(camera, projector)
         return PipelineMaps(disparity=out.disparity,
                             soft_disparity=out.soft_disparity,

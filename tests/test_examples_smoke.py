@@ -59,3 +59,11 @@ def test_video_depth_script():
               "--backend", "xla"])
     assert r.returncode == 0, r.stdout + r.stderr
     assert "depth maps/s" in r.stdout
+
+
+def test_real_capture_script():
+    """The checked-in capture pair decodes (native path) and solves."""
+    r = _run(["examples/real_capture.py", "--backend", "xla",
+              "--num-disparities", "48", "--kernel-size", "15"], timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "REAL-CAPTURE PASS" in r.stdout
