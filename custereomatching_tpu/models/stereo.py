@@ -33,25 +33,43 @@ from custereomatching_tpu.ops.zncc import (
 from custereomatching_tpu.parallel.sharded import sharded_cost_volume
 
 
+def _stack_gap(kernel_size: int) -> int:
+    """Zero rows needed between stacked frames.
+
+    One half-window (p rows, shared by both neighbors) covers the ZNCC
+    window reach — plus the cancel taps of the subtractive windowed sum
+    (ops/pallas_zncc.py::_win_sum reads ``m−k`` rows beyond the window
+    when ``box_k = box_{2^⌈log₂k⌉} − extra taps`` is cheaper; those taps
+    cancel exactly only over zeros, and bit-exactness demands they see
+    the same zeros a single-frame run pads with)."""
+    p = kernel_size // 2
+    m = 1 << kernel_size.bit_length()
+    deficit = m - kernel_size
+    extra = (deficit
+             if 0 < deficit < bin(kernel_size).count("1") - 1 else 0)
+    return p + extra
+
+
 def _run_stacked(one_fn, camera: jax.Array, projector: jax.Array,
                  kernel_size: int):
     """Run a single-pair map pipeline over a batch in ONE kernel launch.
 
-    Frames are stacked along H with a ``2·(k//2)`` zero-row gap between
-    them.  Under the zero-padding window convention (reference
-    ``query_ij``, custma/src/stereo_matching_kernel.cu:6-12) the gap is
-    exactly as wide as a window's reach, so every in-frame output is
-    bit-identical to running the frame alone; the gap rows' outputs are
-    sliced away.  Versus ``lax.map`` this trades ~2p/(H+2p) extra rows of
-    compute (~4% at KITTI scale) for B−1 fewer kernel dispatches and no
-    XLA loop glue — batching becomes strictly cheaper per frame.
+    Frames are stacked along H with a ``_stack_gap(k)`` zero-row gap
+    between them.  Under the zero-padding window convention (reference
+    ``query_ij``, custma/src/stereo_matching_kernel.cu:6-12) one
+    half-window of shared zeros satisfies BOTH neighbors: frame i's
+    bottom windows and frame i+1's top windows each reach p rows into
+    the same gap and read zeros, exactly as if each frame ran alone; the
+    gap rows' outputs are sliced away.  Versus ``lax.map`` this trades
+    ~p/(H+p) extra rows of compute (~2% at KITTI scale) for B−1 fewer
+    kernel dispatches and no XLA loop glue.
 
     Gradients are exact too: un-stacking is a pad/reshape whose transpose
     scatters zeros into the gap rows, satisfying the zero-cotangent
     contract of the fused backward.
     """
     B, H, W = camera.shape
-    gap = 2 * (kernel_size // 2)
+    gap = _stack_gap(kernel_size)
     hs = H + gap
 
     def stack(x):

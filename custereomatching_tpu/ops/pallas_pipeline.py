@@ -45,6 +45,12 @@ from custereomatching_tpu.ops.pallas_zncc import (
 )
 
 
+def _unnormalized_head(beta: float) -> bool:
+    """Whether β permits the unnormalized softmax head: with |c| ≤ 1+ε,
+    ``(D+1)·e^β`` must stay well inside fp32 (e^75 ≈ 3.7e32 ≪ 3.4e38)."""
+    return float(beta) <= 75.0
+
+
 class PipelineMaps(NamedTuple):
     """Outputs of the fused pipeline (all ``[H, W]``)."""
 
@@ -60,13 +66,37 @@ def _fused_kernel(cam_hbm, proj_hbm,
                   m_scr, am_scr, s_scr, t_scr, sems,
                   *, D: int, k: int, eps: float, beta: float,
                   threshold: float, hb: int, dt: int,
-                  wo: int, wcc: int, pw: int, syw: int, lp: int):
+                  wo: int, wcc: int, pw: int, syw: int, lp: int,
+                  unnormalized: bool):
+    """Fused forward: banded ZNCC planes + an online disparity head.
+
+    Head variants (selected statically by ``unnormalized``):
+
+    * ``unnormalized=True`` (β ≤ 75): the softmax sums accumulate raw
+      ``u = e^{β·c}`` — with ``|c| ≤ 1 + ε`` the largest possible sum is
+      ``(D+1)·e^{β(1+ε)} < 2^127``, so fp32 cannot overflow and the whole
+      max-rescaling machinery (reciprocal + three selects per plane)
+      disappears; the max/argmax tracking that remains is two cheap ops.
+      Relative accuracy equals the max-normalized form: both drop
+      addends below ~2⁻²⁴ of the running maximum term.
+    * ``unnormalized=False``: numerically-safe online softmax with one
+      exp and one reciprocal per plane (rescale-on-new-max), for large β.
+
+    The projector band arrives PRE-SCALED by β, so the cross-term box
+    pass directly yields ``β·sxy`` and no per-plane ``β·c`` multiply
+    exists; ey2 is unscaled once at stats time.  Padded tail planes are
+    neutralized by clamping their ``β·c`` to −3e38 (one select per plane;
+    ``exp`` then contributes exact zero) — measured cheaper by ~50% of a
+    kernel pass than splitting the unrolled loop into a masked last-tile
+    variant, whose doubled code wrecks Mosaic's schedule at dt≈40.
+    """
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
     p = k // 2
     band_rows = _round_up(hb + 2 * p, 8)
     inv_k2 = 1.0 / float(k * k)
+    inv_b2 = 1.0 / float(beta * beta)
 
     @pl.when(d_idx == 0)
     def _load_stats_init():
@@ -85,11 +115,11 @@ def _fused_kernel(cam_hbm, proj_hbm,
         sx_scr[:, :] = sx * inv_k2
         ex2_scr[:, :] = _box_from_band(cam * cam, k, hb, wo) \
             - sx * sx * inv_k2
-        proj = proj_vmem[:, :]
-        sy = _box_from_band(proj, k, hb, syw)
-        sy_scr[:, :] = sy
-        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hb, syw)
-                         - sy * sy * inv_k2)
+        proj_b = proj_vmem[:, :]            # β-scaled projector band
+        sy_b = _box_from_band(proj_b, k, hb, syw)
+        sy_scr[:, :] = sy_b
+        ey2_scr[:, :] = (_box_from_band(proj_b * proj_b, k, hb, syw)
+                         - sy_b * sy_b * inv_k2) * inv_b2
 
         m_scr[:, :] = jnp.full((hb, wo), -3.0e38, m_scr.dtype)
         am_scr[:, :] = jnp.zeros((hb, wo), am_scr.dtype)
@@ -105,38 +135,42 @@ def _fused_kernel(cam_hbm, proj_hbm,
     psh = pltpu.roll(proj_vmem[:, :], pw - shift, axis=1)
     syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
+    beps = beta * eps
 
     for j in range(dt):
         c0 = dt - 1 - j
-        prod = band * psh[:, c0:c0 + wcc]
-        sxy = _box_from_band(prod, k, hb, wo)
-        exy = sxy - mux * syb[:, c0:c0 + wo]
+        prod = band * psh[:, c0:c0 + wcc]          # β·cam·proj
+        sxy_b = _box_from_band(prod, k, hb, wo)    # β·sxy
+        exy_b = sxy_b - mux * syb[:, c0:c0 + wo]   # β·exy
         r = lax.rsqrt(ex2 * ey2b[:, c0:c0 + wo] + eps)
-        c = (exy + eps) * r
-
-        d = d_base + j                       # traced scalar disparity
-        valid = d <= D                       # mask the padded tail planes
-        d_f = d.astype(c.dtype)
+        bc = (exy_b + beps) * r                    # β·cost
+        d = d_base + j
+        d_f = d.astype(bc.dtype)
+        # Neutralize padded tail planes: −3e38 makes exp exactly 0 and
+        # loses every max comparison.
+        bc = jnp.where(d <= D, bc, -3.0e38)
 
         # Accumulators round-trip through scratch each iteration: the ref
         # stores cut the value chains so Mosaic can reuse the loop
         # temporaries (threading them as values keeps every unrolled
         # iteration's intermediates live at once → VMEM-stack OOM).
-        # Online softmax with ONE exp per plane: em = e^{β(c−m)}.  When
-        # the max improves (em > 1) the running sums rescale by 1/em and
-        # the new plane contributes 1; otherwise they keep their scale
-        # and the plane contributes em.  m is kept β-scaled (bm = β·m)
-        # so each plane costs one multiply, one exp, one reciprocal.
         bm = m_scr[:, :]
-        bc = beta * c
-        em = jnp.where(valid, jnp.exp(bc - bm), 0.0)
-        better = em > 1.0                    # ⇔ (c > m) ∧ valid
-        scale = jnp.where(better, 1.0 / em, 1.0)
-        e = jnp.where(better, 1.0, em)
-        s_scr[:, :] = s_scr[:, :] * scale + e
-        t_scr[:, :] = t_scr[:, :] * scale + d_f * e
-        am_scr[:, :] = jnp.where(better, d_f, am_scr[:, :])
-        m_scr[:, :] = jnp.where(better, bc, bm)
+        if unnormalized:
+            u = jnp.exp(bc)
+            s_scr[:, :] = s_scr[:, :] + u
+            t_scr[:, :] = t_scr[:, :] + d_f * u
+            better = bc > bm
+            am_scr[:, :] = jnp.where(better, d_f, am_scr[:, :])
+            m_scr[:, :] = jnp.maximum(bm, bc)
+        else:
+            em = jnp.exp(bc - bm)
+            better = em > 1.0                      # ⇔ c > m
+            scale = jnp.where(better, 1.0 / em, 1.0)
+            e = jnp.where(better, 1.0, em)
+            s_scr[:, :] = s_scr[:, :] * scale + e
+            t_scr[:, :] = t_scr[:, :] * scale + d_f * e
+            am_scr[:, :] = jnp.where(better, d_f, am_scr[:, :])
+            m_scr[:, :] = jnp.where(better, bc, bm)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -177,6 +211,9 @@ def _pipeline_forward_full(
 
     n_d = -(-(D + 1) // int(block_disparities))
     dt = _round_up(-(-(D + 1) // n_d), 8)
+    # Rounding dt up to the sublane multiple can shrink the tile
+    # count (whole tiles would otherwise be padding).
+    n_d = -(-(D + 1) // dt)
     if n_d == 1:
         # Single disparity tile: DMA+stats, the whole unrolled loop and
         # the epilogue share one grid step, so Mosaic's live-range peak is
@@ -197,12 +234,17 @@ def _pipeline_forward_full(
     cam_p = jnp.zeros((src_rows, wcc), camera.dtype)
     cam_p = lax.dynamic_update_slice(cam_p, camera, (p, p))
     proj_p = jnp.zeros((src_rows, pw), projector.dtype)
-    proj_p = lax.dynamic_update_slice(proj_p, projector, (p, lp + p))
+    # β pre-folded into the projector band: the cross-term box pass then
+    # yields β·sxy directly (no per-plane β·c multiply in the kernel).
+    proj_p = lax.dynamic_update_slice(
+        proj_p, projector * jnp.asarray(beta, projector.dtype),
+        (p, lp + p))
 
     kernel = functools.partial(
         _fused_kernel, D=D, k=k, eps=float(epsilon), beta=float(beta),
         threshold=float(threshold), hb=hb, dt=dt,
-        wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp)
+        wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp,
+        unnormalized=_unnormalized_head(beta))
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
@@ -308,7 +350,7 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
                       *, H: int, W: int, D: int, k: int, eps: float,
                       beta: float, hb: int, dt: int,
                       wo: int, woe: int, wcc: int, pw: int, syw: int,
-                      lp: int, maps_rows: int):
+                      lp: int, maps_rows: int, n_last: int):
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -385,7 +427,7 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
     syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
-    for j in range(dt):
+    def plane(j):
         c0 = dt - 1 - j
         pslice = psh[:, c0:c0 + wcc]
         prod = band * pslice
@@ -397,15 +439,13 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
         n = exy + eps
         c = n * r                                  # the cost plane, ext
 
-        d = d_base + j
-        d_f = jnp.float32(0) + d                   # traced scalar → f32
-        # Head cotangent for this plane (zero for padded d: gs/gc are zero
-        # there only if d picks w_d≈0... guard explicitly).
-        if True:
-            valid = d <= D
-            w = jnp.exp(beta * (c - m_e)) * inv_s_e
-            g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
-            g_d = jnp.where(valid, g_d, 0.0)
+        d_f = jnp.float32(0) + (d_base + j)        # traced scalar → f32
+        # Head cotangent for this plane.  Map slot 0 (m_e) is the max the
+        # forward normalized against — zero when the unnormalized head
+        # produced the residuals.  Padded planes are never iterated, so
+        # no validity masking exists.
+        w = jnp.exp(beta * (c - m_e)) * inv_s_e
+        g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
 
         gr = g_d * r
         boxgr = _box_from_band(gr, k, hb, wo)
@@ -416,6 +456,20 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
         b_scr[:, :] = b_scr[:, :] + (g_d[c_sl] * n[c_sl]
                                      * (r_c * r_c * r_c) * ey2_sh[c_sl])
         grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * (sy_sh[c_sl] * inv_k2)
+
+    if n_last == dt:
+        for j in range(dt):
+            plane(j)
+    else:
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -433,6 +487,9 @@ def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
     hbe = hb + 2 * p
     n_d = -(-(D + 1) // int(block_disparities))
     dt = _round_up(-(-(D + 1) // n_d), 8)
+    # Rounding dt up to the sublane multiple can shrink the tile
+    # count (whole tiles would otherwise be padding).
+    n_d = -(-(D + 1) // dt)
 
     wo = _round_up(max(W, 128), 128)
     woe = wo + 2 * p
@@ -460,7 +517,8 @@ def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
     kernel = functools.partial(
         _fused_bwd_kernel, H=H, W=W, D=D, k=k, eps=float(eps),
         beta=float(beta), hb=hb, dt=dt, wo=wo, woe=woe, wcc=wcc, pw=pw,
-        syw=syw, lp=lp, maps_rows=maps_rows)
+        syw=syw, lp=lp, maps_rows=maps_rows,
+        n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)))
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
@@ -536,8 +594,11 @@ def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
     gc = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(g.confidence)
     inv_s = 1.0 / s
     tos = t * inv_s
+    # Slot 0 is the max the softmax weights were normalized against:
+    # zero for the unnormalized head (s = Σe^{βc}), conf otherwise.
+    m_for_w = (jnp.zeros_like(conf) if _unnormalized_head(beta) else conf)
     maps_stack = jnp.stack(
-        [conf, inv_s, tos, am, gs, gc,
+        [m_for_w, inv_s, tos, am, gs, gc,
          jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)
     cam_grad = _fused_train_bwd_impl(
         camera, projector, maps_stack, num_disparities, kernel_size,

@@ -147,12 +147,17 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
                    cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
                    sems,
                    *, D: int, k: int, eps: float, hb: int, dt: int,
-                   wo: int, wcc: int, pw: int, syw: int, lp: int):
+                   wo: int, wcc: int, pw: int, syw: int, lp: int,
+                   n_last: int):
     """One grid step = disparities [d_idx·dt, d_idx·dt + dt) of an
     ``hb``-row tile.  Disparity is the fastest grid axis; the row band is
-    DMA'd and its window statistics computed only at d_idx == 0."""
+    DMA'd and its window statistics computed only at d_idx == 0.  The
+    last disparity tile computes only its ``n_last`` real planes — the
+    padded tail [D+1, n_d·dt) is skipped (its output is garbage by
+    contract, see ``padded=True``)."""
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
     p = k // 2
     band_rows = _round_up(hb + 2 * p, 8)  # DMA slices need 8-row alignment
     inv_k2 = 1.0 / float(k * k)
@@ -198,7 +203,7 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
     syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
-    for j in range(dt):
+    def plane(j):
         # disparity d = d_base + j lives at static column offset dt-1-j.
         c0 = dt - 1 - j
         prod = band * psh[:, c0:c0 + wcc]
@@ -206,6 +211,23 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
         exy = sxy - mux * syb[:, c0:c0 + wo]
         r = lax.rsqrt(ex2 * ey2b[:, c0:c0 + wo] + eps)
         out_ref[:, j, :] = (exy + eps) * r
+
+    if n_last == dt:
+        for j in range(dt):
+            plane(j)
+    else:
+        # Padded tail planes carry no information — skip their compute in
+        # the last tile (their out-block planes stay uninitialized, which
+        # the padded-volume contract already declares garbage).
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -215,8 +237,8 @@ def pallas_cost_volume_banded_hdw(
     num_disparities: int,
     kernel_size: int = 15,
     epsilon: float = EPSILON,
-    block_rows: int = 24,
-    block_disparities: int = 40,
+    block_rows: int = 48,
+    block_disparities: int = 8,
     interpret: bool = False,
     padded: bool = False,
 ) -> jax.Array:
@@ -259,6 +281,9 @@ def pallas_cost_volume_banded_hdw(
     # output block shape stays sublane-aligned).
     n_d = -(-(D + 1) // int(block_disparities))
     dt = _round_up(-(-(D + 1) // n_d), 8)
+    # Rounding dt up to the sublane multiple can shrink the tile
+    # count (whole tiles would otherwise be padding).
+    n_d = -(-(D + 1) // dt)
 
     wo = _round_up(max(W, 128), 128)        # output lane width
     wcc = _round_up(wo + 2 * p, 128)        # camera band width (col halo)
@@ -281,7 +306,8 @@ def pallas_cost_volume_banded_hdw(
 
     kernel = functools.partial(
         _banded_kernel, D=D, k=k, eps=float(epsilon),
-        hb=hb, dt=dt, wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp)
+        hb=hb, dt=dt, wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp,
+        n_last=(D + 1) - (n_d - 1) * dt)
 
     out = pl.pallas_call(
         kernel,
@@ -372,24 +398,30 @@ def _pallas_stereo_hdw(camera, projector, num_disparities, kernel_size,
                        epsilon, interpret):
     return pallas_cost_volume_banded_hdw(
         camera, projector, num_disparities, kernel_size, epsilon,
-        24, 40, interpret, True)
+        48, 8, interpret, True)
 
 
 def _pallas_stereo_hdw_fwd(camera, projector, num_disparities, kernel_size,
                            epsilon, interpret):
     cost = _pallas_stereo_hdw(camera, projector, num_disparities,
                               kernel_size, epsilon, interpret)
-    return cost, (camera, projector)
+    # Residuals: the two images AND the forward volume.  Saving the
+    # output (alive in autodiff anyway) lets the backward skip the
+    # per-plane cross-term recompute entirely (n·r = c) — a deliberate
+    # departure from the reference's inputs-only remat
+    # (custma/stereo_matching_wrapper.py:16), bought with zero extra HBM
+    # writes.
+    return cost, (camera, projector, cost)
 
 
 def _pallas_stereo_hdw_bwd(num_disparities, kernel_size, epsilon, interpret,
                            residuals, g):
     from custereomatching_tpu.ops.pallas_zncc_bwd import (
-        pallas_camera_grad_banded_hdw)
-    camera, projector = residuals
-    cam_grad = pallas_camera_grad_banded_hdw(
-        camera, projector, g, num_disparities, kernel_size, epsilon,
-        48, 8, interpret)
+        pallas_camera_grad_banded_hdw_with_cost)
+    camera, projector, cost = residuals
+    cam_grad = pallas_camera_grad_banded_hdw_with_cost(
+        camera, projector, cost, g, num_disparities, kernel_size, epsilon,
+        64, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -408,10 +440,10 @@ def stereo_matching_pallas_hdw(
     """Differentiable banded ZNCC cost volume in **padded HDW layout**.
 
     The production training path.  Returns the kernel's native
-    ``[h_pad, ndt, wo]`` volume (``h_pad = ceil(H/24)·24``,
-    ``ndt = D+1 rounded up to 8``, ``wo = W rounded up to 128``); entries
-    outside ``[:H, :D+1, :W]`` are garbage and MUST be excluded from any
-    loss — use the padded-aware head
+    ``[h_pad, ndt, wo]`` volume (``h_pad = ceil(H/hb)·hb``,
+    ``ndt = D+1 rounded up to the disparity tile``, ``wo = W rounded up
+    to 128``); entries outside ``[:H, :D+1, :W]`` are garbage — padded
+    planes are not even written — and MUST be excluded from any loss — use the padded-aware head
     (:func:`..disparity.extract_disparity_hdw`), whose masking also
     guarantees the zero-cotangent contract of the direct-DMA backward.
 

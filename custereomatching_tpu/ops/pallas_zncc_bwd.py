@@ -49,22 +49,43 @@ from custereomatching_tpu.ops.pallas_zncc import (
 )
 
 
-def _bwd_kernel(cam_hbm, proj_hbm, g_hbm,
-                a1_ref, b_ref, grmu_ref,
-                cam_vmem, proj_vmem, g_vmem,
-                sx_scr, ex2_scr, sy_scr, ey2_scr,
-                a1_scr, b_scr, grmu_scr, sems,
-                *, D: int, k: int, eps: float, hb: int, dt: int,
+def _bwd_kernel(*refs,
+                D: int, k: int, eps: float, hb: int, dt: int,
                 wo: int, woe: int, wcc: int, pw: int, syw: int, lp: int,
-                direct_g: bool, g_rows: int):
+                direct_g: bool, g_rows: int, n_last: int,
+                have_c: bool):
     """``direct_g=False``: the cotangent source is pre-padded to band
     coordinates ``[src_rows, n_d·dt, wcc]`` (image at offset (2p, 0, 2p)).
     ``direct_g=True``: the cotangent is the kernel's own padded-HDW
     volume ``[g_rows, n_d·dt, wo]`` with NO margins — the DMA offset is
-    clamped at the array edges and the halo rows that fall outside are
-    masked to zero in-register.  This avoids any XLA-side pad of the
-    ~0.5 GB cotangent (measured ~3.7 ms, dwarfing the copy's bandwidth
-    cost)."""
+    clamped at the array edges and the out-of-image halo rows are masked
+    to zero in-register.  This avoids any XLA-side pad of the ~0.5 GB
+    cotangent (measured ~3.7 ms, dwarfing the copy's bandwidth cost).
+
+    Layout notes for the per-plane hot loop:
+      * every elementwise operand is stored at the aligned center-column
+        width ``wo`` (``μx``/``ex2`` pre-sliced at stats time) — only the
+        box-filter inputs carry the ±p column halo;
+      * ``sy`` is stored pre-scaled by 1/k² (``μy``); the cross term uses
+        raw ``sx`` against it, saving a multiply per plane;
+      * ``gr = g·r`` is written into the zero-margined ``gr_scr`` so the
+        box filter sees its halo columns without a per-plane concat.
+
+    ``have_c=True`` (direct_g only): the FORWARD COST VOLUME is supplied
+    as a residual alongside the cotangent.  Because ``n·r = c``, the
+    B-term becomes ``g·c·ey2·r²`` — the entire per-plane cross-term
+    recompute (``prod``/``sxy`` box passes, the dominant cost) vanishes,
+    traded for one aligned, correction-free DMA read of ``c``'s center
+    rows.
+    """
+    if have_c:
+        (cam_hbm, proj_hbm, g_hbm, c_hbm, a1_ref, b_ref, grmu_ref,
+         cam_vmem, proj_vmem, g_vmem, c_vmem, gr_scr, sx_scr, ex2_scr,
+         sy_scr, ey2_scr, a1_scr, b_scr, grmu_scr, sems) = refs
+    else:
+        (cam_hbm, proj_hbm, g_hbm, a1_ref, b_ref, grmu_ref,
+         cam_vmem, proj_vmem, g_vmem, gr_scr, sx_scr, ex2_scr,
+         sy_scr, ey2_scr, a1_scr, b_scr, grmu_scr, sems) = refs
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -87,18 +108,24 @@ def _bwd_kernel(cam_hbm, proj_hbm, g_hbm,
 
         cam = cam_vmem[:, :]
         sx = _box_from_band(cam, k, hbe, woe)
-        sx_scr[:, :] = sx * inv_k2       # μx at extended extent
-        ex2_scr[:, :] = _box_from_band(cam * cam, k, hbe, woe) \
-            - sx * sx * inv_k2
+        ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
+        # Store only the aligned center columns (all elementwise uses).
+        sx_scr[:, :] = sx[:, p:p + wo]
+        ex2_scr[:, :] = ex2[:, p:p + wo]
         proj = proj_vmem[:, :]
         sy = _box_from_band(proj, k, hbe, syw)
-        sy_scr[:, :] = sy
+        sy_scr[:, :] = sy * inv_k2       # μy — pre-scaled
         ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
                          - sy * sy * inv_k2)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
         b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
         grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+        # gr_scr's column margins are its box halo: zero once; the hot
+        # loop only ever writes the center columns.
+        gr_scr[:, 0:p] = jnp.zeros((hbe, p), gr_scr.dtype)
+        gr_scr[:, p + wo:woe] = jnp.zeros((hbe, woe - wo - p),
+                                          gr_scr.dtype)
 
     # Cotangent planes for this (row tile, disparity tile).
     r0 = h_idx * hb
@@ -115,10 +142,19 @@ def _bwd_kernel(cam_hbm, proj_hbm, g_hbm,
             g_hbm.at[pl.ds(r0, band_rows), pl.ds(d_idx * dt, dt), :],
             g_vmem, sems.at[2])
     g_dma.start()
+    if have_c:
+        # Center rows only, aligned start, no correction needed; rows
+        # past the volume's extent are clamped (their outputs are sliced
+        # away by the caller).
+        c_dma = pltpu.make_async_copy(
+            c_hbm.at[pl.ds(jnp.clip(r0, 0, g_rows - hb), hb),
+                     pl.ds(d_idx * dt, dt), :],
+            c_vmem, sems.at[3])
+        c_dma.start()
 
     band = cam_vmem[:, :]
-    mux = sx_scr[:, :]
-    ex2 = ex2_scr[:, :]
+    mux_raw = sx_scr[:, :]               # raw Σx at center columns
+    ex2 = ex2_scr[:, :]                  # [hbe, wo]
 
     d_base = d_idx * dt
     shift = lp - (d_base + dt - 1)
@@ -127,50 +163,79 @@ def _bwd_kernel(cam_hbm, proj_hbm, g_hbm,
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
     g_dma.wait()
+    if have_c:
+        c_dma.wait()
 
-    for j in range(dt):
+    if direct_g:
+        # Row correction shared by every plane of this tile (the slice
+        # itself stays per-plane — a whole-tile staging copy costs more
+        # VMEM than it saves).
+        delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
+        trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
+        rmask = jnp.logical_and(trow + (r0 - p) >= 0,
+                                trow + (r0 - p) < g_rows)
+
+    def plane(j):
         c0 = dt - 1 - j
-        # Forward recompute at the extended extent (ext row t ↔ image row
-        # r0 + t − p; ext col c ↔ image col c − p).
-        pslice = psh[:, c0:c0 + wcc]
-        prod = band * pslice
-        sxy = _box_from_band(prod, k, hbe, woe)
-        sy_sh = syb[:, c0:c0 + woe]
-        ey2_sh = ey2b[:, c0:c0 + woe]
-        exy = sxy - mux * sy_sh
-        r = lax.rsqrt(ex2 * ey2_sh + eps)
-        n = exy + eps
+        # r is needed at the EXTENDED row extent (box2d(g·r) reaches ±p
+        # rows) but only at center columns (gr's column margins are the
+        # zero halo of gr_scr); exy feeds n at the CENTER extent only —
+        # so the expensive sxy box pass runs center-sized and every
+        # elementwise op runs at the aligned width wo.
+        ey2c = ey2b[:, c0 + p:c0 + p + wo]                  # [hbe, wo]
+        r = lax.rsqrt(ex2 * ey2c + eps)
+        muy_c = syb[p:p + hb, c0 + p:c0 + p + wo]           # μy (scaled)
 
-        # Cotangent in ext coordinates (ext row t ↔ image row r0 + t − p).
+        if not have_c:
+            # Center-extent cross term: center row t ↔ band row t + p
+            # (the camera band holds ext rows with their own p-row halo).
+            prod_c = (band[p:p + hb + 2 * p, p:p + wo + 2 * p]
+                      * psh[p:p + hb + 2 * p, c0 + p:c0 + p + wo + 2 * p])
+            sxy_c = _box_from_band(prod_c, k, hb, wo)
+            n_c = sxy_c - mux_raw[p:p + hb, :] * muy_c + eps
+
         if direct_g:
-            # Buffer rows [p, p+hbe) hold source rows [s0, s0+hbe); wanted
-            # row t is source row s_want + t = buffer row t + δ + p.
-            delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
-            raw = g_vmem[pl.ds(delta + p, hbe), j, :]       # [hbe, wo]
-            trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
-            rmask = jnp.logical_and(trow + (r0 - p) >= 0,
-                                    trow + (r0 - p) < g_rows)
-            raw = jnp.where(rmask, raw, 0.0)
-            zcol = jnp.zeros((hbe, p), raw.dtype)
-            g_ext = jnp.concatenate([zcol, raw, zcol], axis=1)  # [hbe, woe]
+            raw = jnp.where(rmask, g_vmem[pl.ds(delta + p, hbe), j, :],
+                            0.0)                            # [hbe, wo]
         else:
             # Pre-padded band coordinates: band row s ↔ image row
-            # r0 + s − 2p ⇒ g_ext[t, c] = g_band[t+p, c+p].
-            g = g_vmem[:, j, :]
-            g_ext = g[p:p + hbe, p:p + woe]
-        gr = g_ext * r
+            # r0 + s − 2p ⇒ image col w sits at band col w + 2p.
+            raw = g_vmem[p:p + hbe, j, 2 * p:2 * p + wo]
+        gr_scr[:, p:p + wo] = raw * r
+        gr = gr_scr[:, :]                                   # [hbe, woe]
 
         # A1: box2d(gr) at center rows ⊙ proj[y, x − d] (band offset 2p).
         boxgr = _box_from_band(gr, k, hb, wo)
-        a1_scr[:, :] = a1_scr[:, :] + boxgr * pslice[2 * p:2 * p + hb,
-                                                     2 * p:2 * p + wo]
+        a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[2 * p:2 * p + hb,
+                                                  c0 + 2 * p:c0 + 2 * p + wo]
 
-        # Center slices (image rows/cols of this tile) in ext coordinates.
-        c_sl = (slice(p, p + hb), slice(p, p + wo))
-        r_c = r[c_sl]
-        b_scr[:, :] = b_scr[:, :] + (g_ext[c_sl] * n[c_sl]
-                                     * (r_c * r_c * r_c) * ey2_sh[c_sl])
-        grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * (sy_sh[c_sl] * inv_k2)
+        r_c = r[p:p + hb, :]
+        if have_c:
+            # n·r³·ey2 = c·r²·ey2 with c the saved forward plane.
+            b_scr[:, :] = b_scr[:, :] + ((raw[p:p + hb, :] * c_vmem[:, j, :])
+                                         * ((r_c * r_c)
+                                            * ey2c[p:p + hb, :]))
+        else:
+            b_scr[:, :] = b_scr[:, :] + (raw[p:p + hb, :] * n_c
+                                         * (r_c * r_c * r_c)
+                                         * ey2c[p:p + hb, :])
+        grmu_scr[:, :] = grmu_scr[:, :] + (raw[p:p + hb, :] * r_c) * muy_c
+
+    if n_last == dt:
+        for j in range(dt):
+            plane(j)
+    else:
+        # Planes beyond D carry a zero cotangent by contract — skip them
+        # in the last disparity tile.
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -180,8 +245,21 @@ def _bwd_kernel(cam_hbm, proj_hbm, g_hbm,
 
 
 def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
-             interpret, direct_g):
-    """Shared driver: build band sources, run the kernel, XLA epilogue."""
+             interpret, direct_g, cost=None):
+    """Shared driver: build band sources, run the kernel, XLA epilogue.
+
+    ``cost`` (direct_g only): the forward volume in the same padded-HDW
+    layout as ``g_src`` — enables the recompute-free B-term (``have_c``).
+    """
+    have_c = cost is not None
+    if have_c and not direct_g:
+        raise ValueError("cost residual requires the direct-DMA layout")
+    if direct_g:
+        # No row tile may straddle the volume's padded extent: the
+        # clamped DMA would deliver shifted rows for in-range outputs.
+        H0 = camera.shape[0]
+        while hb > 8 and -(-H0 // hb) * hb > max(g_src.shape[0], H0):
+            hb -= 8
     H, W = camera.shape
     p = k // 2
     hbe = hb + 2 * p
@@ -210,7 +288,12 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     if direct_g and g_rows < hbe:
         # Tiny inputs only: the clamped DMA needs at least hbe source rows.
         g_src = jnp.pad(g_src, ((0, hbe - g_rows), (0, 0), (0, 0)))
+        if have_c:
+            cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
         g_rows = hbe
+    if have_c and cost.shape != g_src.shape:
+        raise ValueError(
+            f"cost residual shape {cost.shape} != cotangent {g_src.shape}")
 
     if direct_g:
         g_scratch = pltpu.VMEM((hbe + 2 * p, dt, wo), camera.dtype)
@@ -220,7 +303,28 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     kernel = functools.partial(
         _bwd_kernel, D=D, k=k, eps=float(eps), hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
-        direct_g=direct_g, g_rows=g_rows)
+        direct_g=direct_g, g_rows=g_rows,
+        n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)),
+        have_c=have_c)
+
+    scratch = [
+        pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera band
+        pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
+        g_scratch,                                        # cotangent
+        pltpu.VMEM((hbe, woe), camera.dtype),             # gr (zero halo)
+        pltpu.VMEM((hbe, wo), camera.dtype),              # Σx (center)
+        pltpu.VMEM((hbe, wo), camera.dtype),              # ex2 (center)
+        pltpu.VMEM((hbe, syw), camera.dtype),             # μy
+        pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
+        pltpu.VMEM((hb, wo), camera.dtype),               # A1 acc
+        pltpu.VMEM((hb, wo), camera.dtype),               # B acc
+        pltpu.VMEM((hb, wo), camera.dtype),               # GRMU acc
+        pltpu.SemaphoreType.DMA((4 if have_c else 3,)),
+    ]
+    inputs = (cam_p, proj_p, g_src)
+    if have_c:
+        scratch.insert(3, pltpu.VMEM((hb, dt, wo), camera.dtype))  # c tile
+        inputs = (cam_p, proj_p, g_src, cost)
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
@@ -228,33 +332,18 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     a1, b, grmu = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(inputs),
         out_specs=(map_spec, map_spec, map_spec),
         out_shape=(map_shape, map_shape, map_shape),
-        scratch_shapes=[
-            pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera band
-            pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
-            g_scratch,                                        # cotangent
-            pltpu.VMEM((hbe, woe), camera.dtype),             # μx
-            pltpu.VMEM((hbe, woe), camera.dtype),             # ex2
-            pltpu.VMEM((hbe, syw), camera.dtype),             # sy
-            pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
-            pltpu.VMEM((hb, wo), camera.dtype),               # A1 acc
-            pltpu.VMEM((hb, wo), camera.dtype),               # B acc
-            pltpu.VMEM((hb, wo), camera.dtype),               # GRMU acc
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 4 * k * H * W * (D + 1),
-            bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
+            flops=2 * (2 if have_c else 4) * k * H * W * (D + 1),
+            bytes_accessed=H * W * (D + 1) * 4 * (2 if have_c else 1)
+            + 2 * H * W * 4,
             transcendentals=H * W * (D + 1),
         ),
         interpret=interpret,
-    )(cam_p, proj_p, g_src)
+    )(*inputs)
 
     a1 = a1[:H, :W]
     b = b[:H, :W]
@@ -306,6 +395,9 @@ def pallas_camera_grad_banded(
     hb = _round_up(int(block_rows), 8)
     n_d = -(-(D + 1) // int(block_disparities))
     dt = _round_up(-(-(D + 1) // n_d), 8)
+    # Rounding dt up to the sublane multiple can shrink the tile
+    # count (whole tiles would otherwise be padding).
+    n_d = -(-(D + 1) // dt)
 
     p = k // 2
     hbe = hb + 2 * p
@@ -367,3 +459,51 @@ def pallas_camera_grad_banded_hdw(
 
     return _run_bwd(camera, projector, padded_hdw_grad, D, k, epsilon,
                     hb, dt, n_d, interpret, direct_g=True)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def pallas_camera_grad_banded_hdw_with_cost(
+    camera: jax.Array,
+    projector: jax.Array,
+    cost_volume_hdw: jax.Array,
+    padded_hdw_grad: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    block_rows: int = 64,
+    block_disparities: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Camera VJP with the forward volume supplied as a residual.
+
+    The fastest backward: because ``n·r = c``, handing the kernel the
+    forward output (which autodiff keeps alive anyway) removes the
+    per-plane cross-term recompute — the dominant cost of the
+    recompute-from-images backward — leaving only stats, the
+    ``box2d(g·r)`` pass, and elementwise accumulation.  Beyond the
+    reference's design point: its backward rematerializes everything
+    from the inputs (custma/src/stereo_matching_kernel.cu:97-128).
+
+    ``cost_volume_hdw`` and ``padded_hdw_grad`` must share the padded-HDW
+    layout produced by :func:`..pallas_zncc.stereo_matching_pallas_hdw`.
+    """
+    H, W = camera.shape
+    D = int(num_disparities)
+    k = int(kernel_size)
+    hb = _round_up(int(block_rows), 8)
+    wo = _round_up(max(W, 128), 128)
+    n_planes = padded_hdw_grad.shape[1]
+    if padded_hdw_grad.shape[2] != wo:
+        raise ValueError(
+            f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
+            f"expected {wo}")
+    dtb = _round_up(int(block_disparities), 8)
+    dt = 8
+    for cand in range(8, dtb + 1, 8):
+        if n_planes % cand == 0:
+            dt = cand
+    n_d = n_planes // dt
+
+    return _run_bwd(camera, projector, padded_hdw_grad, D, k, epsilon,
+                    hb, dt, n_d, interpret, direct_g=True,
+                    cost=cost_volume_hdw)

@@ -59,6 +59,15 @@ def main() -> None:
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--pipeline", choices=["fused", "volume"],
                     default="fused")
+    ap.add_argument("--strong", action="store_true",
+                    help="fixed GLOBAL problem size: reports sharding "
+                         "overhead vs the single-device run (the "
+                         "meaningful metric on shared-core virtual "
+                         "devices, where weak-scaling per-device rates "
+                         "fall as 1/n by construction)")
+    ap.add_argument("--halo-breakdown", action="store_true",
+                    help="also time the halo exchange alone (the "
+                         "communication share of a sharded step)")
     args = ap.parse_args()
 
     n = len(jax.devices())
@@ -80,11 +89,23 @@ def main() -> None:
     shapes = sorted(set(shapes), key=lambda x: (x[0] * x[1], x[1]))
 
     base_rate = None
-    print(f"{'mesh':>10} {'devices':>8} {'frames/s':>10} {'per-dev':>9} "
-          f"{'weak-eff':>9}")
+    base_time = None
+    if args.strong:
+        print(f"{'mesh':>10} {'devices':>8} {'frames/s':>10} "
+              f"{'step ms':>9} {'overhead':>9}")
+    else:
+        print(f"{'mesh':>10} {'devices':>8} {'frames/s':>10} "
+              f"{'per-dev':>9} {'weak-eff':>9}")
     for (dd, ss) in shapes:
-        B = args.frames * dd
-        H = args.height * ss
+        if args.strong:
+            # Fixed global problem: every mesh computes the same frames.
+            max_d = max(d for d, _ in shapes)
+            max_s = max(s for _, s in shapes)
+            B = args.frames * max_d
+            H = args.height * max_s
+        else:
+            B = args.frames * dd
+            H = args.height * ss
         cams, projs, _ = make_video_batch(B, H, args.width,
                                           d_min=2.0, d_max=12.0)
         mesh = make_mesh(MeshConfig(data=dd, space=ss))
@@ -99,12 +120,51 @@ def main() -> None:
                 c, p, config, m))
         stats = benchmark(fn, cam_s, proj_s, iters=10, warmup=2)
         rate = B / stats["median_s"]
-        per_dev = rate / (dd * ss)
-        if base_rate is None:
-            base_rate = per_dev
-        eff = per_dev / base_rate
-        print(f"{dd}x{ss:>8} {dd*ss:>8} {rate:>10.2f} {per_dev:>9.2f} "
-              f"{eff*100:>8.1f}%")
+        if args.strong:
+            if base_time is None:
+                base_time = stats["median_s"]
+            ovh = stats["median_s"] / base_time - 1.0
+            print(f"{dd}x{ss:>8} {dd*ss:>8} {rate:>10.2f} "
+                  f"{stats['median_s']*1e3:>9.2f} {ovh*100:>+8.1f}%")
+        else:
+            per_dev = rate / (dd * ss)
+            if base_rate is None:
+                base_rate = per_dev
+            eff = per_dev / base_rate
+            print(f"{dd}x{ss:>8} {dd*ss:>8} {rate:>10.2f} {per_dev:>9.2f} "
+                  f"{eff*100:>8.1f}%")
+
+    if args.halo_breakdown and any(s > 1 for _, s in shapes):
+        # Communication share: time the ppermute halo exchange alone on
+        # the largest space mesh, vs the full sharded step above.
+        from functools import partial
+
+        from custereomatching_tpu.parallel.halo import halo_exchange
+
+        ss = max(s for _, s in shapes)
+        dd = max(d for d, s in shapes if s == ss)
+        mesh = make_mesh(MeshConfig(data=dd, space=ss))
+        B = args.frames * (dd if not args.strong else max(
+            d for d, _ in shapes))
+        H = args.height * (ss if not args.strong else max(
+            s for _, s in shapes))
+        cams, projs, _ = make_video_batch(B, H, args.width)
+        cam_s, _ = shard_batch((jnp.asarray(cams), jnp.asarray(projs)),
+                               mesh)
+        halo = config.pad
+
+        from jax.sharding import PartitionSpec as P
+
+        halo_fn = jax.jit(jax.shard_map(
+            partial(halo_exchange, halo=halo, axis_name="space", axis=1),
+            mesh=mesh,
+            in_specs=P("data", "space", None),
+            out_specs=P("data", "space", None),
+            check_vma=False))
+        stats = benchmark(halo_fn, cam_s, iters=10, warmup=2)
+        print(f"halo exchange alone ({dd}x{ss} mesh, {halo} rows): "
+              f"{stats['median_s']*1e3:.3f} ms "
+              f"(2 ppermutes of [{B}, {halo}, {args.width}] per image)")
 
 
 if __name__ == "__main__":
