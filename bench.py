@@ -89,6 +89,10 @@ def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 3,
     """
     for _ in range(warmup):
         _readback(fn(*args))
+    # Throwaway chain at the larger length: the first chain at a new
+    # length grows allocator pools for the in-flight buffers, which
+    # would otherwise inflate t1 and deflate the slope.
+    _chain(fn, args, n2, 1)
     t1 = _chain(fn, args, n1, repeats)
     t2 = _chain(fn, args, n2, repeats)
     return max((t2 - t1) / (n2 - n1), 1e-9)
@@ -262,12 +266,18 @@ def main() -> None:
             lambda c, p: stereo_matching_pallas_hdw(c, p, D, K))
 
         def fwd_bwd_hdw(cam, proj):
-            def loss(c):
-                v = stereo_matching_pallas_hdw(c, proj, D, K)
-                # Sum over the valid extent only (padded entries are
-                # garbage and must carry zero cotangent).
-                return jnp.sum(v[:H, :D + 1, :W])
-            return jax.grad(loss)(cam)
+            # The reference's protocol: backward with an all-ones
+            # cotangent (examples/verify.py:67-68) — here ones on the
+            # valid extent, zeros on the padding (the zero-cotangent
+            # contract), built as a constant so no volume-sized slice
+            # sits on the timed path.
+            out, pullback = jax.vjp(
+                lambda c: stereo_matching_pallas_hdw(c, proj, D, K), cam)
+            hi = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) < H
+            di = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) <= D
+            wi = jax.lax.broadcasted_iota(jnp.int32, out.shape, 2) < W
+            ones = jnp.where(hi & di & wi, 1.0, 0.0).astype(out.dtype)
+            return pullback(ones)[0]
 
         fwd_bwd_hdw = jax.jit(fwd_bwd_hdw)
 

@@ -115,18 +115,24 @@ def benchmark(
         fence(fn(*args, **kwargs))
 
     # Device execution is in-order, so dispatching a chain of calls and
-    # fencing only the last one measures pure device throughput without
-    # paying the host↔device round-trip per iteration (which dominates on
-    # tunneled platforms).  Each sample is a chain of `chain` calls.
-    chain = 4
-    samples = []
-    for _ in range(iters):
+    # fencing only the last one costs ``fixed + n·t`` where ``fixed`` is
+    # the host↔device round-trip (tens of ms through a tunneled relay).
+    # Each sample is the SLOPE between a short and a long chain, which
+    # cancels ``fixed`` exactly — pure steady-state device throughput.
+    n1, n2 = 3, 9
+
+    def chain(n):
         t0 = time.perf_counter()
         out = None
-        for _ in range(chain):
+        for _ in range(n):
             out = fn(*args, **kwargs)
         fence(out)
-        samples.append((time.perf_counter() - t0) / chain)
+        return time.perf_counter() - t0
+
+    chain(n2)  # throwaway: grow allocator pools for in-flight buffers
+    samples = []
+    for _ in range(iters):
+        samples.append(max((chain(n2) - chain(n1)) / (n2 - n1), 1e-9))
 
     return {
         "median_s": statistics.median(samples),
