@@ -381,12 +381,14 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
 
         cam = cam_vmem[:, :]
         sx = _box_from_band(cam, k, hbe, woe)
-        sx_scr[:, :] = sx * inv_k2
+        # Raw Σx; sy stored pre-scaled by 1/k² (μy) — pairing sx·μy in
+        # the cross term saves a multiply per plane in grmu.
+        sx_scr[:, :] = sx
         ex2_scr[:, :] = _box_from_band(cam * cam, k, hbe, woe) \
             - sx * sx * inv_k2
         proj = proj_vmem[:, :]
         sy = _box_from_band(proj, k, hbe, syw)
-        sy_scr[:, :] = sy
+        sy_scr[:, :] = sy * inv_k2
         ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
                          - sy * sy * inv_k2)
 
@@ -395,7 +397,7 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
         grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
 
     band = cam_vmem[:, :]
-    mux = sx_scr[:, :]
+    sx_raw = sx_scr[:, :]
     ex2 = ex2_scr[:, :]
 
     r0 = h_idx * hb
@@ -432,12 +434,11 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
         pslice = psh[:, c0:c0 + wcc]
         prod = band * pslice
         sxy = _box_from_band(prod, k, hbe, woe)
-        sy_sh = syb[:, c0:c0 + woe]
+        muy_sh = syb[:, c0:c0 + woe]               # μy (pre-scaled)
         ey2_sh = ey2b[:, c0:c0 + woe]
-        exy = sxy - mux * sy_sh
+        exy = sxy - sx_raw * muy_sh
         r = lax.rsqrt(ex2 * ey2_sh + eps)
-        n = exy + eps
-        c = n * r                                  # the cost plane, ext
+        c = (exy + eps) * r                        # the cost plane, ext
 
         d_f = jnp.float32(0) + (d_base + j)        # traced scalar → f32
         # Head cotangent for this plane.  Map slot 0 (m_e) is the max the
@@ -453,9 +454,10 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
                                                      2 * p:2 * p + wo]
         c_sl = (slice(p, p + hb), slice(p, p + wo))
         r_c = r[c_sl]
-        b_scr[:, :] = b_scr[:, :] + (g_d[c_sl] * n[c_sl]
-                                     * (r_c * r_c * r_c) * ey2_sh[c_sl])
-        grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * (sy_sh[c_sl] * inv_k2)
+        # n·r³ = c·r² (c already in hand for the head cotangent).
+        b_scr[:, :] = b_scr[:, :] + (g_d[c_sl] * c[c_sl]
+                                     * (r_c * r_c) * ey2_sh[c_sl])
+        grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * muy_sh[c_sl]
 
     if n_last == dt:
         for j in range(dt):

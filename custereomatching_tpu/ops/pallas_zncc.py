@@ -61,15 +61,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _win_sum(x: jax.Array, k: int, axis: int, out_len: int) -> jax.Array:
-    """k-tap windowed sum along ``axis``: ``out[i] = Σ_{t<k} x[i+t]``.
+def _win_sum(x: jax.Array, k: int, axis: int, out_len: int,
+             start: int = 0) -> jax.Array:
+    """k-tap windowed sum along ``axis``: ``out[i] = Σ_{t<k} x[start+i+t]``.
 
     Binary-tree evaluation: ⌈log₂k⌉ doubling adds plus one op per set
     bit of k — with a subtractive shortcut when k is just below a power
     of two (k = 15: box16 − one tap = 5 adds/subs instead of 6, and two
     fewer shifted slices, which matter doubly on TPU because every
-    shifted slice is a lane/sublane relayout).  Requires
-    ``x.shape[axis] >= out_len + k - 1``.
+    shifted slice is a lane/sublane relayout).  ``start`` offsets the
+    output window origin for free (the final slices just begin later —
+    no relayout, unlike slicing the input first).  Requires
+    ``x.shape[axis] >= start + out_len + k - 1``.
     """
     # Subtractive form: with M = 2^⌈log₂k⌉ and deficit d = M − k,
     # ``box_k[i] = box_{M/2}[i] + box_{M/2}[i + M/2] − Σ_{t=k..M-1} x[i+t]``
@@ -81,7 +84,7 @@ def _win_sum(x: jax.Array, k: int, axis: int, out_len: int) -> jax.Array:
     m = 1 << k.bit_length()
     deficit = m - k
     if (0 < deficit < bin(k).count("1") - 1
-            and x.shape[axis] >= out_len + m - 1):
+            and x.shape[axis] >= start + out_len + m - 1):
         half = m // 2
         sums = {1: x}
         span = 1
@@ -94,10 +97,12 @@ def _win_sum(x: jax.Array, k: int, axis: int, out_len: int) -> jax.Array:
             span *= 2
         bh = sums[half]
         # box_k[i] = box_half[i] + box_half[i + half] - Σ_{t=k..m-1} x[i+t]
-        out = (lax.slice_in_dim(bh, 0, out_len, axis=axis)
-               + lax.slice_in_dim(bh, half, half + out_len, axis=axis))
+        out = (lax.slice_in_dim(bh, start, start + out_len, axis=axis)
+               + lax.slice_in_dim(bh, start + half, start + half + out_len,
+                                  axis=axis))
         for t in range(k, m):
-            out = out - lax.slice_in_dim(x, t, t + out_len, axis=axis)
+            out = out - lax.slice_in_dim(x, start + t, start + t + out_len,
+                                         axis=axis)
         return out
 
     sums = {1: x}
@@ -109,7 +114,7 @@ def _win_sum(x: jax.Array, k: int, axis: int, out_len: int) -> jax.Array:
                           + lax.slice_in_dim(prev, span, span + ln, axis=axis))
         span *= 2
     result = None
-    off = 0
+    off = start
     for span in sorted(sums, reverse=True):
         if k & span:
             part = lax.slice_in_dim(sums[span], off, off + out_len, axis=axis)
@@ -131,16 +136,21 @@ def _row_window_matrix(k: int, hb: int, rows: int, dtype) -> jax.Array:
 
 
 def _box_from_band(band: jax.Array, k: int, hb: int, out_w: int,
-                   row_mat: Optional[jax.Array] = None) -> jax.Array:
+                   row_mat: Optional[jax.Array] = None,
+                   row_start: int = 0, col_start: int = 0) -> jax.Array:
     """Separable k×k window sum of a halo'd row band.
 
-    ``band`` is ``[>= hb + k - 1, >= out_w + k - 1]``; returns
-    ``[hb, out_w]`` where entry (r, w) sums the k×k window whose top-left
-    corner is (r, w) — i.e. the window *centered* at band coordinates
-    (r + k//2, w + k//2).  With ``row_mat`` the rows pass runs on the MXU.
+    ``band`` is ``[>= row_start + hb + k - 1, >= col_start + out_w + k - 1]``;
+    returns ``[hb, out_w]`` where entry (r, w) sums the k×k window whose
+    top-left corner is ``(row_start + r, col_start + w)`` — i.e. the
+    window *centered* at band coordinates ``(row_start + r + k//2,
+    col_start + w + k//2)``.  The start offsets shift the output origin
+    for free (no input relayout).  With ``row_mat`` the rows pass runs on
+    the MXU.
     """
     del row_mat  # MXU rows-pass measured slower (tiny M, f32 multi-pass)
-    return _win_sum(_win_sum(band, k, 0, hb), k, 1, out_w)
+    return _win_sum(_win_sum(band, k, 0, hb, row_start), k, 1, out_w,
+                    col_start)
 
 
 def _banded_kernel(cam_hbm, proj_hbm, out_ref,

@@ -187,11 +187,12 @@ def _bwd_kernel(*refs,
         muy_c = syb[p:p + hb, c0 + p:c0 + p + wo]           # μy (scaled)
 
         if not have_c:
-            # Center-extent cross term: center row t ↔ band row t + p
-            # (the camera band holds ext rows with their own p-row halo).
-            prod_c = (band[p:p + hb + 2 * p, p:p + wo + 2 * p]
-                      * psh[p:p + hb + 2 * p, c0 + p:c0 + p + wo + 2 * p])
-            sxy_c = _box_from_band(prod_c, k, hb, wo)
+            # Center-extent cross term via the box pass's free output
+            # offsets (center row t ↔ band row t + p; image col w ↔ band
+            # col w + 2p) — no band slicing, hence no per-plane relayout.
+            prod = band * psh[:, c0:c0 + wcc]
+            sxy_c = _box_from_band(prod, k, hb, wo, row_start=p,
+                                   col_start=p)
             n_c = sxy_c - mux_raw[p:p + hb, :] * muy_c + eps
 
         if direct_g:
