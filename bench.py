@@ -176,7 +176,7 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
     bc = jnp.zeros((1, 384, 1280), jnp.float32).at[0, :H, :W].set(cam)
     bp = jnp.zeros((1, 384, 1280), jnp.float32).at[0, :H, :W].set(proj)
     t_eng = _time(lambda c, p: eng._fn(c, p).soft_disparity, bc, bp,
-                  n1=4, n2=16)
+                  n1=8, n2=40)
     print(f"[bench] serving engine bucket 384x1280 (warm, device-side): "
           f"{t_eng*1e3:.2f} ms/frame ({1.0/t_eng:.1f} fps); bucket-pad "
           f"overhead vs raw pipeline {(t_eng*fps-1)*100:+.1f}%",

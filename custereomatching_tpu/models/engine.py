@@ -46,7 +46,7 @@ class StereoEngine:
 
     def __init__(self, config: StereoConfig,
                  buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
-                 lr_check: bool = False):
+                 lr_check: bool = False, retries: int = 0):
         if config.num_disparities is None:
             raise ValueError("serving engine requires banded mode")
         self.config = config
@@ -57,7 +57,19 @@ class StereoEngine:
             self._fn = jax.jit(self.model.disparity_maps_lr)
         else:
             self._fn = jax.jit(self.model.disparity_maps)
+        if retries:
+            # The op is stateless, so re-dispatch on transient device
+            # faults is safe (same inputs → same outputs).
+            from custereomatching_tpu.utils.failsafe import with_retries
+
+            self._fn = with_retries(self._fn, retries=retries)
         self._compiled: Dict[Tuple[int, int], bool] = {}
+
+    def healthy(self) -> bool:
+        """Device readiness probe (tiny verified computation)."""
+        from custereomatching_tpu.utils.failsafe import device_healthcheck
+
+        return device_healthcheck()
 
     def _bucket_for(self, H: int, W: int) -> Tuple[int, int]:
         for bh, bw in self.buckets:

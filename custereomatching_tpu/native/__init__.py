@@ -30,7 +30,7 @@ _load_attempted = False
 
 def build(verbose: bool = False) -> bool:
     """Compile the native library in place.  Returns True on success."""
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            "-o", _LIB_PATH] + _SOURCES + ["-lpng", "-lz"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True,
@@ -77,8 +77,18 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cst_pad_image_f32.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.cst_loader_open.restype = ctypes.c_void_p
+    lib.cst_loader_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32]
+    lib.cst_loader_next.restype = ctypes.c_int
+    lib.cst_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cst_loader_close.restype = None
+    lib.cst_loader_close.argtypes = [ctypes.c_void_p]
     lib.cst_abi_version.restype = ctypes.c_int
-    if lib.cst_abi_version() != 1:
+    if lib.cst_abi_version() != 2:
         return None
     _lib = lib
     return _lib
@@ -157,5 +167,78 @@ def pad_image_f32(img: np.ndarray, dst_h: int, dst_w: int, off_r: int,
     return out
 
 
-__all__ = ["build", "decode_png_gray", "load_npy_f32", "native_available",
-           "pad_image_f32", "u8_to_f32_gray"]
+class FrameLoader:
+    """Prefetching PNG frame loader backed by the native worker thread.
+
+    Decodes ahead into a bounded ring while the device computes — the
+    host-side data path of a streaming deployment (the reference decodes
+    synchronously on the Python thread, examples/verify.py:137-142).
+
+    Example::
+
+        with FrameLoader(paths) as frames:
+            for frame in frames:          # float32 [H, W] in [0, 1]
+                maps = engine.infer(frame, projector)
+    """
+
+    def __init__(self, paths, channel: int = 0, capacity: int = 4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._paths = [os.fspath(p) for p in paths]
+        arr = (ctypes.c_char_p * len(self._paths))(
+            *[p.encode() for p in self._paths])
+        self._handle = lib.cst_loader_open(arr, len(self._paths),
+                                           channel, capacity)
+        self._consumed = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._handle is None:
+            raise StopIteration
+        h = ctypes.c_int32()
+        w = ctypes.c_int32()
+        rc = self._lib.cst_loader_next(self._handle, None, 0,
+                                       ctypes.byref(h), ctypes.byref(w))
+        if rc == 0:
+            raise StopIteration
+        if rc < 0:
+            # Consume the bad frame so iteration can continue past it.
+            self._lib.cst_loader_next(
+                self._handle, np.empty(1, np.float32).ctypes.data_as(
+                    ctypes.c_void_p), 0, ctypes.byref(h), ctypes.byref(w))
+            path = self._paths[min(self._consumed, len(self._paths) - 1)]
+            self._consumed += 1
+            raise IOError(f"native decode failed (rc={rc}) for {path}")
+        out = np.empty((h.value, w.value), np.float32)
+        rc = self._lib.cst_loader_next(
+            self._handle, out.ctypes.data_as(ctypes.c_void_p), out.size,
+            ctypes.byref(h), ctypes.byref(w))
+        if rc != 1:
+            raise IOError(f"native loader read failed (rc={rc})")
+        self._consumed += 1
+        return out
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.cst_loader_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+__all__ = ["FrameLoader", "build", "decode_png_gray", "load_npy_f32",
+           "native_available", "pad_image_f32", "u8_to_f32_gray"]

@@ -222,6 +222,129 @@ void cst_pad_image_f32(const float* src, int64_t h, int64_t w, float* dst,
   }
 }
 
-int cst_abi_version() { return 1; }
+int cst_abi_version() { return 2; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Prefetching frame loader: background decode ahead of device compute
+// ---------------------------------------------------------------------------
+//
+// The reference loads each frame synchronously on the Python thread
+// (examples/verify.py:137-142).  At >400 frames/s of device throughput a
+// synchronous ~1-2 ms PNG decode would dominate the serving loop; this
+// loader decodes ahead on a worker thread into a bounded ring so the
+// host data path overlaps device compute.
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+
+namespace {
+
+struct Frame {
+  std::vector<float> data;
+  int32_t h = 0, w = 0;
+  int rc = 0;  // decode status for this frame
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int channel = 0;
+  size_t capacity = 4;
+  std::deque<Frame> ring;
+  std::mutex mu;
+  std::condition_variable cv_space, cv_data;
+  bool closed = false;
+  bool producer_done = false;
+  std::thread worker;
+};
+
+void loader_worker(Loader* L) {
+  for (const std::string& path : L->paths) {
+    Frame f;
+    f.rc = cst_decode_png_gray(path.c_str(), L->channel, nullptr, 0,
+                               &f.h, &f.w);
+    if (f.rc == 0) {
+      f.data.resize(static_cast<size_t>(f.h) * f.w);
+      f.rc = cst_decode_png_gray(path.c_str(), L->channel, f.data.data(),
+                                 static_cast<int64_t>(f.data.size()),
+                                 &f.h, &f.w);
+    }
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_space.wait(lk, [L] {
+      return L->ring.size() < L->capacity || L->closed;
+    });
+    if (L->closed) return;
+    L->ring.push_back(std::move(f));
+    L->cv_data.notify_all();
+  }
+  std::lock_guard<std::mutex> lk(L->mu);
+  L->producer_done = true;
+  L->cv_data.notify_all();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a loader over n PNG paths.  Returns an opaque handle (never
+// null); call cst_loader_close to stop the worker and free it.
+void* cst_loader_open(const char** paths, int32_t n, int32_t channel,
+                      int32_t capacity) {
+  Loader* L = new Loader();
+  L->paths.reserve(n > 0 ? n : 0);
+  for (int32_t i = 0; i < n; ++i) L->paths.emplace_back(paths[i]);
+  L->channel = channel;
+  L->capacity = capacity > 0 ? static_cast<size_t>(capacity) : 1;
+  L->worker = std::thread(loader_worker, L);
+  return L;
+}
+
+// Peek (out == nullptr): block until a frame is ready, report its size
+// and decode status without consuming it.  Consume (out != nullptr):
+// copy the front frame into out and advance.
+// Returns: 1 = frame available/copied, 0 = end of stream,
+//          <0 = decode error for the front frame (consumed on read).
+int cst_loader_next(void* handle, float* out, int64_t out_capacity,
+                    int32_t* height, int32_t* width) {
+  Loader* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_data.wait(lk, [L] {
+    return !L->ring.empty() || L->producer_done || L->closed;
+  });
+  if (L->ring.empty()) return 0;  // end of stream (or closed)
+  Frame& f = L->ring.front();
+  *height = f.h;
+  *width = f.w;
+  if (f.rc != 0) {
+    int rc = f.rc;
+    if (out != nullptr) {  // consume the bad frame on a read attempt
+      L->ring.pop_front();
+      L->cv_space.notify_all();
+    }
+    return rc;
+  }
+  if (out == nullptr) return 1;  // peek
+  if (out_capacity < static_cast<int64_t>(f.data.size())) return -5;
+  std::memcpy(out, f.data.data(), sizeof(float) * f.data.size());
+  L->ring.pop_front();
+  L->cv_space.notify_all();
+  return 1;
+}
+
+void cst_loader_close(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->closed = true;
+    L->cv_space.notify_all();
+    L->cv_data.notify_all();
+  }
+  if (L->worker.joinable()) L->worker.join();
+  delete L;
+}
 
 }  // extern "C"

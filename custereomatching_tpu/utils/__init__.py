@@ -1,5 +1,10 @@
-"""Utilities: timing/benchmark harness and stereo evaluation metrics."""
+"""Utilities: timing/benchmark harness, failure handling, metrics."""
 
+from custereomatching_tpu.utils.failsafe import (
+    device_healthcheck,
+    is_transient_device_error,
+    with_retries,
+)
 from custereomatching_tpu.utils.metrics import (
     bad_pixel_rate,
     disparity_metrics,
@@ -17,9 +22,12 @@ __all__ = [
     "TimerError",
     "bad_pixel_rate",
     "benchmark",
+    "device_healthcheck",
     "device_specs",
     "disparity_metrics",
     "end_point_error",
+    "is_transient_device_error",
     "trace",
+    "with_retries",
     "zncc_roofline",
 ]

@@ -194,3 +194,66 @@ def test_metrics():
     mask = jnp.asarray([[1.0, 1.0, 0.0]])
     m2 = disparity_metrics(pred, truth, mask)
     np.testing.assert_allclose(m2["epe"], 0.75, rtol=1e-6)
+
+
+def test_native_frame_loader(tmp_path):
+    """Prefetching loader yields frames in order, matching direct decode."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL needed to author test frames")
+
+    rng = np.random.default_rng(11)
+    paths, want = [], []
+    for i in range(6):
+        img = (rng.random((20 + i, 30)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        want.append(img.astype(np.float32) / 255.0)
+
+    got = []
+    with native.FrameLoader(paths, capacity=2) as frames:
+        for f in frames:
+            got.append(f)
+    assert len(got) == 6
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_native_frame_loader_bad_frame(tmp_path):
+    """A corrupt frame raises but iteration continues to later frames."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL needed to author test frames")
+
+    ok1 = str(tmp_path / "a.png")
+    bad = str(tmp_path / "bad.png")
+    ok2 = str(tmp_path / "b.png")
+    img = (np.random.default_rng(3).random((12, 16)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(ok1)
+    Image.fromarray(img).save(ok2)
+    with open(bad, "wb") as f:
+        f.write(b"not a png at all")
+
+    frames = native.FrameLoader([ok1, bad, ok2], capacity=2)
+    out, errors = [], 0
+    while True:
+        try:
+            out.append(next(frames))
+        except StopIteration:
+            break
+        except IOError:
+            errors += 1
+    frames.close()
+    assert len(out) == 2 and errors == 1

@@ -67,3 +67,30 @@ def test_real_capture_script():
               "--num-disparities", "48", "--kernel-size", "15"], timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "REAL-CAPTURE PASS" in r.stdout
+
+
+def test_video_depth_png_streaming(tmp_path):
+    """The native prefetching loader drives the streaming example."""
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest
+
+        pytest.skip("PIL needed to author frames")
+    rng = np.random.default_rng(5)
+    proj = (rng.random((32, 64)) * 255).astype(np.uint8)
+    proj_path = str(tmp_path / "proj.png")
+    Image.fromarray(proj).save(proj_path)
+    cams = []
+    for i in range(3):
+        cam = (rng.random((32, 64)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"cam{i}.png")
+        Image.fromarray(cam).save(p)
+        cams.append(p)
+    r = _run(["examples/video_depth.py", "--disparities", "8", "-k", "5",
+              "--backend", "xla", "--height", "32", "--width", "64",
+              "--projector-png", proj_path, "--camera-pngs"] + cams)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "streamed 3 PNG keyframes" in r.stdout
