@@ -11,6 +11,10 @@ from custereomatching_tpu.parallel.multihost import (
     make_global_mesh,
     process_local_batch_slice,
 )
+from custereomatching_tpu.parallel.pipeline import (
+    pipelined_video_maps,
+    stage_mesh,
+)
 from custereomatching_tpu.parallel.sharded import (
     IMAGE_SPEC,
     MAP_SPEC,

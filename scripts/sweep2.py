@@ -1,5 +1,11 @@
 """Round-2 perf experiments: pipeline head ablations + bwd OOM diagnosis."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import functools
 import sys
 import time

@@ -1,5 +1,11 @@
 """Ablate the bwd kernel's per-plane stages to locate the 6 ms."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import functools
 import sys
 import time

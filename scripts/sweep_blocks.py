@@ -3,6 +3,12 @@
 Run: python scripts/sweep_blocks.py [pipeline|volume|bwd|all]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import sys
 import time
 

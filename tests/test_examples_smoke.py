@@ -94,3 +94,11 @@ def test_video_depth_png_streaming(tmp_path):
               "--projector-png", proj_path, "--camera-pngs"] + cams)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "streamed 3 PNG keyframes" in r.stdout
+
+
+def test_pipeline_stages_script():
+    r = _run(["examples/pipeline_stages.py", "--stages", "4", "--frames",
+              "4", "--height", "24", "--width", "48", "-D", "7",
+              "--kernel-size", "5"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PIPELINE-STAGES PASS" in r.stdout
