@@ -76,7 +76,7 @@ def _chain(fn, args, n: int, repeats: int) -> float:
     return best
 
 
-def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 3,
+def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 5,
           warmup: int = 3) -> float:
     """Steady-state seconds per call, measured as a slope.
 

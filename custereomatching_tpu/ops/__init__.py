@@ -9,9 +9,11 @@ from custereomatching_tpu.ops.disparity import (
     extract_disparity_hdw,
     soft_argmax,
 )
+from custereomatching_tpu.ops.consistency import lr_consistency_mask
 from custereomatching_tpu.ops.pallas_zncc_bwd import (
     pallas_camera_grad_banded,
     pallas_camera_grad_banded_hdw,
+    pallas_camera_grad_banded_hdw_with_cost,
 )
 from custereomatching_tpu.ops.pallas_pipeline import (
     PipelineMaps,
@@ -41,8 +43,10 @@ __all__ = [
     "box2d",
     "PipelineMaps",
     "extract_disparity_hdw",
+    "lr_consistency_mask",
     "pallas_camera_grad_banded",
     "pallas_camera_grad_banded_hdw",
+    "pallas_camera_grad_banded_hdw_with_cost",
     "pallas_cost_volume_banded",
     "pallas_cost_volume_banded_hdw",
     "pallas_stereo_pipeline",
