@@ -60,6 +60,10 @@ class StereoConfig:
     grad_projector: bool = False
     precision: str = "highest"
     backend: str = "auto"
+    # Fused-pipeline kernel tile (block_rows, block_disparities).  None =
+    # the KITTI-tuned default; use ops.tuning.autotune_pipeline_blocks to
+    # pick per-shape tiles on the live device.
+    pipeline_blocks: Optional[Tuple[int, int]] = None
 
     def __post_init__(self):
         if self.kernel_size < 1 or self.kernel_size % 2 != 1:
@@ -72,6 +76,14 @@ class StereoConfig:
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.backend not in ("auto", "xla", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.pipeline_blocks is not None:
+            pb = tuple(self.pipeline_blocks)
+            if (len(pb) != 2 or not all(isinstance(v, int) and v > 0
+                                        for v in pb)):
+                raise ValueError(
+                    f"pipeline_blocks must be two positive ints, got "
+                    f"{self.pipeline_blocks!r}")
+            object.__setattr__(self, "pipeline_blocks", pb)
 
     def resolved_backend(self) -> str:
         """Resolve "auto" to a concrete backend for the current platform."""

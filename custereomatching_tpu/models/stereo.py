@@ -193,12 +193,13 @@ class StereoMatcher:
                 raise ValueError("fused pipeline requires banded mode")
 
             interp = backend == "pallas_interpret"
+            hb, dtb = c.pipeline_blocks or (32, 40)
 
             def one(cam, proj):
                 return pallas_stereo_pipeline(
                     cam, proj, c.num_disparities, c.kernel_size,
                     c.epsilon, c.softargmax_beta, c.cost_threshold,
-                    32, 40, interp)
+                    hb, dtb, interp)
 
             if camera.shape[0] == 1:
                 # Stacking a single frame only adds gap-row compute.

@@ -138,6 +138,8 @@ def _local_disparity_maps(camera, projector, config: StereoConfig,
     interp = backend == "pallas_interpret"
     fn = stereo_pipeline_trainable if trainable else pallas_stereo_pipeline
 
+    hb, dtb = config.pipeline_blocks or (32, 40)
+
     def one(cp):
         if trainable:
             return fn(cp[0], cp[1], config.num_disparities,
@@ -145,7 +147,7 @@ def _local_disparity_maps(camera, projector, config: StereoConfig,
                       config.softargmax_beta, config.cost_threshold, interp)
         return fn(cp[0], cp[1], config.num_disparities, config.kernel_size,
                   config.epsilon, config.softargmax_beta,
-                  config.cost_threshold, 32, 40, interp)
+                  config.cost_threshold, hb, dtb, interp)
 
     maps_e = jax.lax.map(one, (cam_e, proj_e))
     h_local = camera.shape[1]

@@ -129,3 +129,52 @@ def test_stereo_engine_bucketing():
     with pytest.raises(ValueError):
         engine.infer(np.zeros((100, 300), np.float32),
                      np.zeros((100, 300), np.float32))
+
+
+def test_pipeline_blocks_config():
+    from custereomatching_tpu.config import StereoConfig
+
+    cfg = StereoConfig(num_disparities=8, pipeline_blocks=(16, 8))
+    assert cfg.pipeline_blocks == (16, 8)
+    with pytest.raises(ValueError, match="pipeline_blocks"):
+        StereoConfig(num_disparities=8, pipeline_blocks=(16,))
+    with pytest.raises(ValueError, match="pipeline_blocks"):
+        StereoConfig(num_disparities=8, pipeline_blocks=(0, 8))
+
+
+def test_pipeline_blocks_plumb_through():
+    """Custom kernel tiles give identical results to the defaults."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custereomatching_tpu.config import StereoConfig
+    from custereomatching_tpu.models import StereoMatcher
+
+    rng = np.random.default_rng(4)
+    cam = jnp.asarray(rng.random((2, 24, 40), dtype=np.float32))
+    proj = jnp.asarray(rng.random((2, 24, 40), dtype=np.float32))
+    base = dict(kernel_size=5, num_disparities=6,
+                backend="pallas_interpret")
+    a = StereoMatcher(StereoConfig(**base)).disparity_maps(cam, proj)
+    b = StereoMatcher(StereoConfig(**base, pipeline_blocks=(8, 4))
+                      ).disparity_maps(cam, proj)
+    np.testing.assert_array_equal(np.asarray(a.disparity),
+                                  np.asarray(b.disparity))
+    np.testing.assert_allclose(np.asarray(a.soft_disparity),
+                               np.asarray(b.soft_disparity),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_autotune_smoke():
+    """Autotune returns a compiling candidate and caches it."""
+    from custereomatching_tpu.ops import tuning
+
+    blocks = tuning.autotune_pipeline_blocks(
+        24, 40, 6, 5, candidates=[(8, 8), (16, 8)], interpret=True)
+    assert blocks in ((8, 8), (16, 8))
+    again = tuning.autotune_pipeline_blocks(
+        24, 40, 6, 5, candidates=[(8, 8), (16, 8)], interpret=True)
+    assert again == blocks
+    vb = tuning.autotune_volume_blocks(
+        24, 40, 6, 5, candidates=[(8, 8), (16, 8)], interpret=True)
+    assert vb in ((8, 8), (16, 8))
