@@ -102,3 +102,11 @@ def test_pipeline_stages_script():
               "--kernel-size", "5"])
     assert r.returncode == 0, r.stdout + r.stderr
     assert "PIPELINE-STAGES PASS" in r.stdout
+
+
+def test_serve_script():
+    r = _run(["examples/serve.py", "--loops", "2", "--num-disparities",
+              "16", "--kernel-size", "7", "--backend", "xla"],
+             timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SERVE: OK" in r.stdout
