@@ -19,9 +19,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-import os
-
 import numpy as np
 
 from custereomatching_tpu.data import render_camera, speckle_pattern

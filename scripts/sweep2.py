@@ -5,9 +5,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
 import functools
-import sys
 import time
 
 import jax

@@ -92,3 +92,30 @@ def test_fused_pipeline_random_shapes(case):
                                np.asarray(want.soft_disparity),
                                rtol=1e-3, atol=1e-3,
                                err_msg=f"soft {case}")
+
+
+ALLPAIRS_CASES = [(11, 26, 5), (17, 33, 7), (9, 40, 15)]
+
+
+@pytest.mark.parametrize("case", ALLPAIRS_CASES, ids=str)
+def test_allpairs_random_shapes(case):
+    """All-pairs mode (reference's actual behavior) vs the brute oracle,
+    forward and gradient."""
+    H, W, k = case
+    rng = np.random.default_rng(hash(case) % (2**32))
+    cam = rng.uniform(size=(H, W)).astype(np.float32)
+    proj = rng.uniform(size=(H, W)).astype(np.float32)
+    want = zncc_brute(cam, proj, k, None)
+    got = np.asarray(zncc.stereo_matching(jnp.asarray(cam),
+                                          jnp.asarray(proj), None, k))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+    g = rng.normal(size=want.shape).astype(np.float32)
+    want_grad = np.asarray(golden.zncc_camera_grad(
+        jnp.asarray(cam), jnp.asarray(proj), jnp.asarray(g), None, k))
+    got_grad = np.asarray(jax.grad(lambda c: jnp.sum(
+        zncc.stereo_matching(c, jnp.asarray(proj), None, k)
+        * jnp.asarray(g)))(jnp.asarray(cam)))
+    scale = np.abs(want_grad).max() + 1e-6
+    np.testing.assert_allclose(got_grad / scale, want_grad / scale,
+                               rtol=1e-3, atol=5e-5)
