@@ -110,3 +110,13 @@ def test_serve_script():
              timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "SERVE: OK" in r.stdout
+
+
+def test_scaling_script_strong_mode():
+    r = _run(["examples/scaling.py", "--backend", "xla", "--height", "16",
+              "--width", "64", "--disparities", "8", "--kernel-size", "5",
+              "--pipeline", "volume", "--strong", "--halo-breakdown"],
+             timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "overhead" in r.stdout
+    assert "halo exchange alone" in r.stdout
