@@ -86,6 +86,12 @@ def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 5,
     platform).  Timing two chain lengths and taking the slope cancels
     ``fixed`` exactly — this measures pure device throughput, the number
     that governs a production stream of frames.
+
+    The two chains of each repetition are timed back-to-back and the
+    MEDIAN of the per-pair slopes is reported: minimizing the short and
+    long chains independently (best-of-N each) deflates the slope — it
+    once reported a rate above the compute bound — while a paired median
+    resists noise in both directions.
     """
     for _ in range(warmup):
         _readback(fn(*args))
@@ -93,9 +99,10 @@ def _time(fn, *args, n1: int = 10, n2: int = 50, repeats: int = 5,
     # length grows allocator pools for the in-flight buffers, which
     # would otherwise inflate t1 and deflate the slope.
     _chain(fn, args, n2, 1)
-    t1 = _chain(fn, args, n1, repeats)
-    t2 = _chain(fn, args, n2, repeats)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    slopes = sorted(
+        (_chain(fn, args, n2, 1) - _chain(fn, args, n1, 1)) / (n2 - n1)
+        for _ in range(repeats))
+    return max(slopes[len(slopes) // 2], 1e-9)
 
 
 def _epe_parity_check(model) -> str:
