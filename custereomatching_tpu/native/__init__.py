@@ -65,6 +65,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cst_decode_png_gray.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cst_decode_png_u16.restype = ctypes.c_int
+    lib.cst_decode_png_u16.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.cst_load_npy_f32.restype = ctypes.c_int
     lib.cst_load_npy_f32.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
@@ -85,10 +89,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cst_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cst_loader_skip.restype = ctypes.c_int
+    lib.cst_loader_skip.argtypes = [ctypes.c_void_p]
     lib.cst_loader_close.restype = None
     lib.cst_loader_close.argtypes = [ctypes.c_void_p]
     lib.cst_abi_version.restype = ctypes.c_int
-    if lib.cst_abi_version() != 2:
+    if lib.cst_abi_version() != 3:
         return None
     _lib = lib
     return _lib
@@ -112,6 +118,25 @@ def decode_png_gray(path: str, channel: int = 0) -> Optional[np.ndarray]:
         return None
     out = np.empty((h.value, w.value), np.float32)
     rc = lib.cst_decode_png_gray(
+        path.encode(), channel, out.ctypes.data_as(ctypes.c_void_p),
+        out.size, ctypes.byref(h), ctypes.byref(w))
+    return out if rc == 0 else None
+
+
+def decode_png_u16(path: str, channel: int = 0) -> Optional[np.ndarray]:
+    """Decode a PNG's raw samples to uint16 [H, W] (no normalization) —
+    the KITTI ground-truth disparity convention; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = lib.cst_decode_png_u16(path.encode(), channel, None, 0,
+                                ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        return None
+    out = np.empty((h.value, w.value), np.uint16)
+    rc = lib.cst_decode_png_u16(
         path.encode(), channel, out.ctypes.data_as(ctypes.c_void_p),
         out.size, ctypes.byref(h), ctypes.byref(w))
     return out if rc == 0 else None
@@ -206,10 +231,9 @@ class FrameLoader:
         if rc == 0:
             raise StopIteration
         if rc < 0:
-            # Consume the bad frame so iteration can continue past it.
-            self._lib.cst_loader_next(
-                self._handle, np.empty(1, np.float32).ctypes.data_as(
-                    ctypes.c_void_p), 0, ctypes.byref(h), ctypes.byref(w))
+            # Explicitly skip the bad frame so iteration continues past
+            # it (callers catch the IOError and keep iterating).
+            self._lib.cst_loader_skip(self._handle)
             path = self._paths[min(self._consumed, len(self._paths) - 1)]
             self._consumed += 1
             raise IOError(f"native decode failed (rc={rc}) for {path}")
@@ -218,7 +242,13 @@ class FrameLoader:
             self._handle, out.ctypes.data_as(ctypes.c_void_p), out.size,
             ctypes.byref(h), ctypes.byref(w))
         if rc != 1:
-            raise IOError(f"native loader read failed (rc={rc})")
+            # rc=-5 (capacity) or a mid-read state change: the front
+            # frame was NOT consumed by the read path — skip it so a
+            # caller that keeps iterating does not re-read it forever.
+            self._lib.cst_loader_skip(self._handle)
+            self._consumed += 1
+            raise IOError(
+                f"native loader read failed (rc={rc}); frame skipped")
         self._consumed += 1
         return out
 
@@ -240,5 +270,6 @@ class FrameLoader:
             pass
 
 
-__all__ = ["FrameLoader", "build", "decode_png_gray", "load_npy_f32",
-           "native_available", "pad_image_f32", "u8_to_f32_gray"]
+__all__ = ["FrameLoader", "build", "decode_png_gray", "decode_png_u16",
+           "load_npy_f32", "native_available", "pad_image_f32",
+           "u8_to_f32_gray"]

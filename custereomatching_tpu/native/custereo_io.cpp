@@ -118,6 +118,101 @@ int cst_decode_png_gray(const char* path, int channel, float* out,
 }
 
 // ---------------------------------------------------------------------------
+// PNG decode → raw uint16 [H, W] (no normalization)
+// ---------------------------------------------------------------------------
+
+// Decodes a PNG's raw sample values into uint16 — the KITTI ground-truth
+// convention stores disparity as a 16-bit grayscale PNG with
+// value = 256·disparity_px and 0 = invalid (so normalization must NOT
+// happen at decode time).  8-bit inputs yield their 0..255 values
+// unscaled; `channel` selects a channel of color inputs.  Same probe /
+// capacity contract as cst_decode_png_gray.
+int cst_decode_png_u16(const char* path, int channel, uint16_t* out,
+                       int64_t out_capacity, int32_t* height,
+                       int32_t* width) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    return -2;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return -3;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return -3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -4;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int color = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_interlace_handling(png);
+  // PNG 16-bit samples are big-endian on the wire; deliver host order.
+  if (depth == 16) png_set_swap(png);
+  png_read_update_info(png, info);
+
+  *height = static_cast<int32_t>(h);
+  *width = static_cast<int32_t>(w);
+  if (out == nullptr) {  // size probe
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 0;
+  }
+  if (out_capacity < static_cast<int64_t>(h) * w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -5;
+  }
+
+  const int out_depth = png_get_bit_depth(png, info);
+  const int bps = out_depth == 16 ? 2 : 1;
+  const size_t rowbytes = png_get_rowbytes(png, info);
+  const int channels = static_cast<int>(rowbytes / (w * bps));
+  const int c = (channels > 1 && channel >= 0 && channel < channels)
+                    ? channel
+                    : 0;
+  std::vector<png_byte> pixels(static_cast<size_t>(h) * rowbytes);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y) rows[y] = pixels.data() + y * rowbytes;
+  png_read_image(png, rows.data());
+  for (png_uint_32 y = 0; y < h; ++y) {
+    const png_byte* row = rows[y];
+    uint16_t* dst = out + static_cast<int64_t>(y) * w;
+    if (bps == 2) {
+      const uint16_t* row16 = reinterpret_cast<const uint16_t*>(row);
+      for (png_uint_32 x = 0; x < w; ++x) dst[x] = row16[x * channels + c];
+    } else {
+      for (png_uint_32 x = 0; x < w; ++x) dst[x] = row[x * channels + c];
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Minimal .npy (v1/v2) float32 reader
 // ---------------------------------------------------------------------------
 
@@ -222,7 +317,7 @@ void cst_pad_image_f32(const float* src, int64_t h, int64_t w, float* dst,
   }
 }
 
-int cst_abi_version() { return 2; }
+int cst_abi_version() { return 3; }
 
 }  // extern "C"
 
@@ -330,6 +425,23 @@ int cst_loader_next(void* handle, float* out, int64_t out_capacity,
   if (out == nullptr) return 1;  // peek
   if (out_capacity < static_cast<int64_t>(f.data.size())) return -5;
   std::memcpy(out, f.data.data(), sizeof(float) * f.data.size());
+  L->ring.pop_front();
+  L->cv_space.notify_all();
+  return 1;
+}
+
+// Drop the front frame unconditionally, whatever its decode status —
+// the explicit consume entry point for error recovery (a caller that
+// hit a decode error or capacity mismatch advances past the frame with
+// this, instead of relying on cst_loader_next's read-path pop order).
+// Returns 1 if a frame was dropped, 0 if the stream was empty/ended.
+int cst_loader_skip(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_data.wait(lk, [L] {
+    return !L->ring.empty() || L->producer_done || L->closed;
+  });
+  if (L->ring.empty()) return 0;
   L->ring.pop_front();
   L->cv_space.notify_all();
   return 1;

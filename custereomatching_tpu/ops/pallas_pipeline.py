@@ -45,10 +45,20 @@ from custereomatching_tpu.ops.pallas_zncc import (
 )
 
 
-def _unnormalized_head(beta: float) -> bool:
-    """Whether β permits the unnormalized softmax head: with |c| ≤ 1+ε,
-    ``(D+1)·e^β`` must stay well inside fp32 (e^75 ≈ 3.7e32 ≪ 3.4e38)."""
-    return float(beta) <= 75.0
+def _unnormalized_head(beta: float, num_disparities: int) -> bool:
+    """Whether (β, D) permit the unnormalized softmax head.
+
+    With ``|c| ≤ 1 + ε`` the largest accumulator is the first moment
+    ``t = Σ d·e^{β·c} ≤ D·(D+1)·e^{β(1+ε)}`` — note the extra factor of
+    D relative to the sum ``s``, so the cutoff must scale with the
+    disparity range, not just β.  Require the bound to sit ≥40× inside
+    fp32 max: ``β + ln(D·(D+1)) ≤ 85`` (e⁸⁵ ≈ 8.2e36 ≪ 3.4e38).  For the
+    reference workload (β=50, D=192) this is 60.5 ≤ 85.
+    """
+    import math
+
+    d = int(num_disparities)
+    return float(beta) + math.log((d + 1) * max(d, 1)) <= 85.0
 
 
 class PipelineMaps(NamedTuple):
@@ -203,6 +213,12 @@ def _pipeline_forward_full(
         raise ValueError(
             f"expected matching [H, W] images, got {camera.shape} vs "
             f"{projector.shape}")
+    if kernel_size < 3 or kernel_size % 2 != 1:
+        # Same decision as pallas_cost_volume_banded_hdw (docs/PARITY.md):
+        # k=1 is the degenerate no-window case; the XLA path serves it.
+        raise ValueError(
+            f"Pallas kernels require odd kernel_size >= 3, got "
+            f"{kernel_size}")
     H, W = camera.shape
     D = int(num_disparities)
     k = int(kernel_size)
@@ -244,7 +260,7 @@ def _pipeline_forward_full(
         _fused_kernel, D=D, k=k, eps=float(epsilon), beta=float(beta),
         threshold=float(threshold), hb=hb, dt=dt,
         wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp,
-        unnormalized=_unnormalized_head(beta))
+        unnormalized=_unnormalized_head(beta, D))
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
@@ -598,7 +614,8 @@ def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
     tos = t * inv_s
     # Slot 0 is the max the softmax weights were normalized against:
     # zero for the unnormalized head (s = Σe^{βc}), conf otherwise.
-    m_for_w = (jnp.zeros_like(conf) if _unnormalized_head(beta) else conf)
+    m_for_w = (jnp.zeros_like(conf)
+               if _unnormalized_head(beta, num_disparities) else conf)
     maps_stack = jnp.stack(
         [m_for_w, inv_s, tos, am, gs, gc,
          jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)

@@ -504,6 +504,19 @@ def pallas_camera_grad_banded_hdw_with_cost(
         if n_planes % cand == 0:
             dt = cand
     n_d = n_planes // dt
+    if n_planes - (D + 1) >= dt:
+        # The forward never writes planes >= D+1; the backward only skips
+        # planes of the LAST disparity tile, so an unwritten plane landing
+        # in an earlier (fully processed) tile would feed
+        # 0·uninitialized = NaN into the camera gradient.  This can only
+        # happen when the volume was produced with a different disparity
+        # tiling than the cotangent's.
+        raise ValueError(
+            f"cost volume has {n_planes - (D + 1)} unwritten padding "
+            f"planes but the backward's disparity tile is {dt}; the "
+            f"padded tail must fit inside the (skipped) last tile. "
+            f"Produce the volume and cotangent with the same tiling, or "
+            f"raise block_disparities.")
 
     return _run_bwd(camera, projector, padded_hdw_grad, D, k, epsilon,
                     hb, dt, n_d, interpret, direct_g=True,

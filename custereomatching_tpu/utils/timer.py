@@ -78,11 +78,20 @@ class Timer:
     def start(self) -> None:
         """Start the timer, or reset the last-check stamp if running."""
         self._laps.append(time.perf_counter())
+        self._trim()
 
     def _stamp(self) -> None:
         if not self._laps:
             raise TimerError("timer is not running")
         self._laps.append(time.perf_counter())
+        self._trim()
+
+    def _trim(self) -> None:
+        # Queries only ever read the origin, previous, and last stamps;
+        # drop the middle so a long-lived Timer polled per frame (the
+        # reference-compatible serving pattern) stays O(1) memory.
+        if len(self._laps) > 3:
+            del self._laps[1:-2]
 
     def since_start(self) -> float:
         self._stamp()
