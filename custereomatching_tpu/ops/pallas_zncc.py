@@ -278,9 +278,16 @@ def pallas_cost_volume_banded_hdw(
         raise ValueError(
             f"expected matching [H, W] images, got {camera.shape} vs "
             f"{projector.shape}")
-    if kernel_size < 1 or kernel_size % 2 != 1:
+    if kernel_size < 3 or kernel_size % 2 != 1:
+        # k=1 is rejected here by design (docs/PARITY.md): it is the
+        # degenerate no-window case — exy = ex2 = ey2 = 0 identically, so
+        # every cost is the eps artifact sqrt(eps) and the closed-form
+        # backward divides noise by noise.  The XLA op
+        # (..zncc.stereo_matching) accepts k=1 for reference parity.
         raise ValueError(
-            f"kernel_size must be odd and >= 1, got {kernel_size}")
+            f"Pallas kernels require odd kernel_size >= 3, got "
+            f"{kernel_size}; for the degenerate k=1 case use the XLA op "
+            f"stereo_matching")
     H, W = camera.shape
     D = int(num_disparities)
     k = int(kernel_size)

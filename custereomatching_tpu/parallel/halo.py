@@ -54,6 +54,14 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str,
         raise ValueError(
             f"halo ({halo}) exceeds local shard extent ({size}); use fewer "
             f"'space' shards or a smaller kernel")
+    if n == 1:
+        # Single shard: no neighbor exists in either direction, so both
+        # halos are the true-image-border zero fill — a plain pad, no
+        # ppermute.  (Collectives on a size-1 axis are semantic no-ops
+        # but not free; this keeps the mesh-1×1 path overhead-free.)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (halo, halo)
+        return jnp.pad(x, pad)
     # My bottom rows become the next shard's top halo; my top rows become
     # the previous shard's bottom halo.  Non-receivers get zeros (the
     # zero-pad convention at true image borders).

@@ -70,6 +70,11 @@ def chunk_state(camera: jax.Array, projector: jax.Array, d_offset,
     """Head state of disparity planes ``d_offset .. d_offset+chunk-1``.
 
     ``d_offset`` may be traced (each stage passes its own offset).
+
+    Backend routing: on a Pallas-capable config the stage runs the FUSED
+    volume-free pipeline kernel (the production fast path — the stage op
+    is then the same 2 ms-class kernel as single-device inference, at
+    (D+1)/S planes); the XLA volume path remains the fallback.
     """
     off_cols = jnp.asarray(d_offset, jnp.int32)
     W = camera.shape[1]
@@ -82,6 +87,9 @@ def chunk_state(camera: jax.Array, projector: jax.Array, d_offset,
     # shift_right(proj, off): column x holds projector[x - off], so band
     # index d enumerates global disparity off + d.
     proj_sh = _shift_right(proj_p, off_cols)
+    if config.resolved_backend().startswith("pallas"):
+        return _chunk_state_fused(cam_p, proj_sh, d_offset, chunk, config,
+                                  camera.shape[0], W)
     cv = _stereo_matching(cam_p, proj_sh, chunk - 1, config.kernel_size,
                           config.epsilon, config.precision)[:, :W]
     beta = config.softargmax_beta
@@ -95,6 +103,38 @@ def chunk_state(camera: jax.Array, projector: jax.Array, d_offset,
     t = jnp.sum(d_global * e, axis=-1)
     am = am_local.astype(camera.dtype) + jnp.asarray(d_offset, camera.dtype)
     return HeadState(m=m, am=am, s=s, t=t)
+
+
+def _chunk_state_fused(cam_p, proj_sh, d_offset, chunk, config, H, W):
+    """Stage chunk through the fused Pallas kernel's raw head outputs.
+
+    The fused forward already produces exactly the online-softmax state
+    this module exchanges — ``(am, conf=m/β, s, t)`` — so a stage is one
+    kernel launch over its (D+1)/S planes, volume-free.  Local state is
+    lifted to global disparities by ``am += off`` and ``t += off·s``
+    (``Σ(d+off)·e = Σd·e + off·Σe``).
+    """
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        _pipeline_forward_full,
+        _unnormalized_head,
+    )
+
+    interp = config.resolved_backend() == "pallas_interpret"
+    hb, dtb = config.pipeline_blocks or (32, 40)
+    beta = config.softargmax_beta
+    am, _soft, _mask, conf, s, t = _pipeline_forward_full(
+        cam_p, proj_sh, chunk - 1, config.kernel_size, config.epsilon,
+        beta, config.cost_threshold, hb, dtb, interp)
+    am, conf, s, t = (x[:H, :W] for x in (am, conf, s, t))
+    m = beta * conf
+    if _unnormalized_head(beta, chunk - 1):
+        # Kernel accumulated absolute sums Σe^{βc}; convert to the
+        # m-relative convention merge_states expects.
+        scale = jnp.exp(-m)
+        s = s * scale
+        t = t * scale
+    off = jnp.asarray(d_offset, am.dtype)
+    return HeadState(m=m, am=am + off, s=s, t=t + off * s)
 
 
 def _shift_right(img: jax.Array, off: jax.Array) -> jax.Array:

@@ -26,8 +26,9 @@ for _ in range(6):
     # k=1 is excluded: with a 1x1 window the true moments are exactly
     # zero and the eps-regularized cost is pure fp-noise (FMA fusion of
     # sxy - mux*sy leaves +-1 ulp where the math cancels); the reference's
-    # two-pass CUDA has the same degeneracy.  k=1 values are pinned by
-    # test_zncc_op.py::test_kernel_size_one on the XLA path.
+    # two-pass CUDA has the same degeneracy.  The Pallas ops now REJECT
+    # k=1 at the API (pinned by test_zncc_op.py::test_pallas_rejects_k1);
+    # k=1 values are pinned by test_kernel_size_one on the XLA path.
     k = int(RNG.choice([3, 5, 7, 9, 15]))
     D = int(RNG.integers(0, min(W - 1, 24)))
     hb = int(RNG.choice([8, 16, 24]))

@@ -30,12 +30,13 @@ def _video(T=5, H=20, W=36, seed=0):
     return cams, projs
 
 
-def test_chunk_merge_equals_full_range():
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_chunk_merge_equals_full_range(backend):
     """Merging per-chunk head states == the full-range head (no mesh)."""
     cams, projs = _video(T=1)
     cam, proj = cams[0], projs[0]
     D, k = 7, 5
-    cfg = StereoConfig(kernel_size=k, num_disparities=D)
+    cfg = StereoConfig(kernel_size=k, num_disparities=D, backend=backend)
     S, chunk = 4, (D + 1) // 4
 
     state = empty_state(cam.shape)
@@ -69,11 +70,13 @@ def test_merge_tie_breaks_to_lower_disparity():
     np.testing.assert_allclose(np.asarray(merged.s), 2.0)
 
 
-@pytest.mark.parametrize("S", [2, 4])
-def test_pipelined_video_matches_single_device(S):
+@pytest.mark.parametrize("S,backend", [(2, "xla"), (4, "xla"),
+                                       (2, "pallas_interpret"),
+                                       (4, "pallas_interpret")])
+def test_pipelined_video_matches_single_device(S, backend):
     cams, projs = _video(T=5)
     D, k = 7, 5
-    cfg = StereoConfig(kernel_size=k, num_disparities=D, backend="xla")
+    cfg = StereoConfig(kernel_size=k, num_disparities=D, backend=backend)
     mesh = stage_mesh(S)
     got = pipelined_video_maps(cams, projs, cfg, mesh)
 

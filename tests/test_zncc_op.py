@@ -122,6 +122,23 @@ def test_kernel_size_one():
     np.testing.assert_allclose(np.asarray(cv), expected, rtol=1e-4)
 
 
+def test_pallas_rejects_k1():
+    # The Pallas kernels reject the degenerate k=1 case at the API
+    # (docs/PARITY.md): the closed-form backward cannot even be traced at
+    # p=0 and the values are pure eps artifacts.  XLA keeps k=1 support
+    # (test_kernel_size_one above).
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        pallas_stereo_pipeline)
+    from custereomatching_tpu.ops.pallas_zncc import stereo_matching_pallas
+
+    cam, proj = _pair(H=8, W=16, seed=9)
+    with pytest.raises(ValueError, match="kernel_size"):
+        stereo_matching_pallas(cam, proj, 2, 1, zncc.EPSILON, True)
+    with pytest.raises(ValueError, match="kernel_size"):
+        pallas_stereo_pipeline(cam, proj, 2, 1, zncc.EPSILON, 50.0, 0.6,
+                               8, 8, True)
+
+
 def test_shape_validation():
     cam = jnp.zeros((4, 5))
     proj = jnp.zeros((4, 6))
