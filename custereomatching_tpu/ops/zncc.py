@@ -219,8 +219,28 @@ def _camera_grad_banded(camera, projector, g, D, k, eps):
     return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
 
 
-def _camera_grad_allpairs(camera, projector, g, k, eps, precision):
-    """All-pairs camera gradient via diagonal-band re-association."""
+def _camera_grad_allpairs(camera, projector, g, cost, k, eps, precision):
+    """All-pairs camera gradient, restructured for TPU memory traffic.
+
+    Two departures from the naive diagonal-band evaluation (which built
+    the field ``M[h,x,e] = Σ_δ gr[h,x+δ,e+δ]`` with a k-iteration shift
+    loop over volume-sized ``[H, W, W]`` arrays — ~k volume reads):
+
+    * **Cost residual**: the forward volume ``cost`` is supplied (alive
+      in autodiff anyway), so ``n·r = c`` turns the B-term into
+      ``g·c·r²·ey2`` and eliminates the cross-term (Hankel matmul)
+      recompute entirely.
+    * **A1 via row-box + per-row matmul**: with ``G2 = box_rows(gr)``,
+
+          A1[y,x] = Σ_{δ=−p..p} Σ_e G2[y, x+δ, e] · proj_pad[y, e−δ]
+                  = Σ_j E[y, x+p−j, j],
+          E[y,w,j] = Σ_e G2[y,w,e] · proj_pad[y, e+j−p]
+
+      — ``E`` is a per-row ``[W, W] @ [W, k]`` matmul against the
+      projector's Hankel view (MXU, K-dim = W deep), and the final sum
+      is k cheap shifted ``[H, W]`` slices.  One volume read for the
+      box, one for the matmul, no volume-sized shift loop.
+    """
     p = k // 2
     k2 = jnp.asarray(k * k, camera.dtype)
     H, W = camera.shape
@@ -229,30 +249,23 @@ def _camera_grad_allpairs(camera, projector, g, k, eps, precision):
     mux = sx / k2
     muy = sy / k2
 
-    cam_h = _hankel_cols(camera, k)
-    proj_h = _hankel_cols(projector, k)
-    gm = jnp.einsum("hwj,hdj->hwd", cam_h, proj_h,
-                    preferred_element_type=camera.dtype, precision=precision)
-    sxy = box_rows(gm, k)
-    exy = sxy - sx[:, :, None] * sy[:, None, :] / k2
-
     r = lax.rsqrt(ex2[:, :, None] * ey2[:, None, :] + eps)
-    n = exy + eps
     gr = g * r
-    b = jnp.einsum("hwd,hd->hw", g * n * (r * r * r), ey2,
+    # n·r³ = c·r² with c the saved forward plane.
+    b = jnp.einsum("hwd,hd->hw", g * cost * (r * r), ey2,
                    preferred_element_type=camera.dtype, precision=precision)
     grmu = jnp.einsum("hwd,hd->hw", gr, muy,
                       preferred_element_type=camera.dtype, precision=precision)
 
-    # A1[y, x] = Σ_e proj[y, e] · N[y, x, e],
-    # N = vertical k-box of M,  M[h, x, e] = Σ_δ gr[h, x+δ, e+δ].
-    gr_pad = jnp.pad(gr, ((0, 0), (p, p), (p, p)))
-    m = gr_pad[:, 0:W, 0:W]
-    for delta in range(1, k):
-        m = m + gr_pad[:, delta:delta + W, delta:delta + W]
-    nfield = box_rows(m, k)
-    a1 = jnp.einsum("ywe,ye->yw", nfield, projector,
-                    preferred_element_type=camera.dtype, precision=precision)
+    g2 = box_rows(gr, k)
+    proj_h = _hankel_cols(projector, k)          # [H, W, k]
+    e_field = jnp.einsum("ywe,yej->ywj", g2, proj_h,
+                         preferred_element_type=camera.dtype,
+                         precision=precision)
+    e_pad = jnp.pad(e_field, ((0, 0), (p, p), (0, 0)))
+    a1 = e_pad[:, 2 * p:2 * p + W, 0]
+    for j in range(1, k):
+        a1 = a1 + e_pad[:, 2 * p - j:2 * p - j + W, j]
 
     return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
 
@@ -305,18 +318,22 @@ def _stereo_fwd(camera, projector, num_disparities, kernel_size, epsilon,
                 precision):
     cost = _forward(camera, projector, num_disparities, kernel_size, epsilon,
                     precision)
-    # Remat strategy: save only the inputs, recompute statistics in the
-    # backward (same choice as ctx.save_for_backward(camera, projector),
-    # custma/stereo_matching_wrapper.py:16).
-    return cost, (camera, projector)
+    # Remat strategy, banded: save only the inputs, recompute statistics
+    # in the backward (same choice as ctx.save_for_backward(camera,
+    # projector), custma/stereo_matching_wrapper.py:16).  All-pairs: ALSO
+    # save the forward volume — it is alive in autodiff anyway, and
+    # ``n·r = c`` lets the backward skip the Hankel cross-term recompute
+    # (docs/PARITY.md round-3 refinements).
+    saved_cost = cost if num_disparities is None else None
+    return cost, (camera, projector, saved_cost)
 
 
 def _stereo_bwd(num_disparities, kernel_size, epsilon, precision, residuals,
                 g):
-    camera, projector = residuals
+    camera, projector, saved_cost = residuals
     if num_disparities is None:
-        cam_grad = _camera_grad_allpairs(camera, projector, g, kernel_size,
-                                         epsilon, precision)
+        cam_grad = _camera_grad_allpairs(camera, projector, g, saved_cost,
+                                         kernel_size, epsilon, precision)
     else:
         cam_grad = _camera_grad_banded(camera, projector, g, num_disparities,
                                        kernel_size, epsilon)
