@@ -11,6 +11,7 @@ from custereomatching_tpu.data.io import (
     save_disparity_png,
     save_stereo_pair_npz,
 )
+from custereomatching_tpu.data import kitti
 from custereomatching_tpu.data.synthetic import (
     box_scene_disparity,
     make_stereo_pair,
