@@ -120,16 +120,22 @@ class StereoMatcher:
         """ZNCC cost volume for one ``[H, W]`` pair.
 
         With ``config.grad_projector=True`` the op is differentiable in
-        BOTH images (XLA autodiff path — the hand-written Pallas backward
-        is camera-only like the reference, custma/stereo_matching_wrapper.py:33,
-        so projector training routes through the moments-form forward).
+        BOTH images: on a Pallas backend both gradients run hand-written
+        closed-form kernels (the projector backward is the half the
+        reference never implemented, custma/stereo_matching_wrapper.py:33);
+        the XLA backend uses autodiff of the moments-form forward.
         """
         c = self.config
+        backend = c.resolved_backend()
         if c.grad_projector:
+            if backend.startswith("pallas") and c.num_disparities is not None:
+                return stereo_matching_pallas(
+                    camera, projector, c.num_disparities, c.kernel_size,
+                    c.epsilon, backend == "pallas_interpret",
+                    grad_projector=True)
             return stereo_matching_with_proj_grad(
                 camera, projector, c.num_disparities, c.kernel_size,
                 c.epsilon, c.precision)
-        backend = c.resolved_backend()
         if backend.startswith("pallas"):
             if c.num_disparities is None:
                 raise ValueError(
@@ -152,7 +158,7 @@ class StereoMatcher:
         vmaps.
         """
         if (self.config.resolved_backend().startswith("pallas")
-                and not self.config.grad_projector):
+                and self.config.num_disparities is not None):
             return jax.lax.map(
                 lambda cp: self.cost_volume_single(cp[0], cp[1]),
                 (camera, projector))

@@ -445,7 +445,87 @@ def _pallas_stereo_hdw_bwd(num_disparities, kernel_size, epsilon, interpret,
 _pallas_stereo_hdw.defvjp(_pallas_stereo_hdw_fwd, _pallas_stereo_hdw_bwd)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+# -- both-gradients variants (the backward half the reference never wrote:
+# custma/stereo_matching_wrapper.py:33 returns None for the projector) -----
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _pallas_stereo_hdw_both(camera, projector, num_disparities, kernel_size,
+                            epsilon, interpret):
+    return pallas_cost_volume_banded_hdw(
+        camera, projector, num_disparities, kernel_size, epsilon,
+        48, 8, interpret, True)
+
+
+def _pallas_stereo_hdw_both_fwd(camera, projector, num_disparities,
+                                kernel_size, epsilon, interpret):
+    cost = _pallas_stereo_hdw_both(camera, projector, num_disparities,
+                                   kernel_size, epsilon, interpret)
+    return cost, (camera, projector, cost)
+
+
+def _pallas_stereo_hdw_both_bwd(num_disparities, kernel_size, epsilon,
+                                interpret, residuals, g):
+    from custereomatching_tpu.ops.pallas_zncc_bwd import (
+        pallas_camera_grad_banded_hdw_with_cost,
+        pallas_projector_grad_banded_hdw_with_cost,
+    )
+    camera, projector, cost = residuals
+    cam_grad = pallas_camera_grad_banded_hdw_with_cost(
+        camera, projector, cost, g, num_disparities, kernel_size, epsilon,
+        64, 8, interpret)
+    proj_grad = pallas_projector_grad_banded_hdw_with_cost(
+        camera, projector, cost, g, num_disparities, kernel_size, epsilon,
+        32, 8, interpret)
+    return cam_grad, proj_grad
+
+
+_pallas_stereo_hdw_both.defvjp(_pallas_stereo_hdw_both_fwd,
+                               _pallas_stereo_hdw_both_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _pallas_stereo_both(camera, projector, num_disparities, kernel_size,
+                        epsilon, interpret):
+    return pallas_cost_volume_banded(
+        camera, projector, num_disparities, kernel_size, epsilon,
+        interpret=interpret)
+
+
+def _pallas_stereo_both_fwd(camera, projector, num_disparities, kernel_size,
+                            epsilon, interpret):
+    # Produce the padded-HDW volume once; the parity layout is its
+    # (explicitly priced) transpose adapter, and the padded volume doubles
+    # as the cost residual for BOTH backward kernels.
+    hdw = pallas_cost_volume_banded_hdw(
+        camera, projector, num_disparities, kernel_size, epsilon,
+        48, 8, interpret, True)
+    H, W = camera.shape
+    cost = jnp.swapaxes(hdw[:H, :num_disparities + 1, :W], 1, 2)
+    return cost, (camera, projector, hdw)
+
+
+def _pallas_stereo_both_bwd(num_disparities, kernel_size, epsilon, interpret,
+                            residuals, g):
+    from custereomatching_tpu.ops.pallas_zncc_bwd import (
+        pallas_camera_grad_banded_hdw_with_cost,
+        pallas_projector_grad_banded_hdw_with_cost,
+    )
+    camera, projector, hdw = residuals
+    g_hdw = jnp.zeros(hdw.shape, hdw.dtype)
+    g_hdw = lax.dynamic_update_slice(g_hdw, jnp.swapaxes(g, 1, 2), (0, 0, 0))
+    cam_grad = pallas_camera_grad_banded_hdw_with_cost(
+        camera, projector, hdw, g_hdw, num_disparities, kernel_size,
+        epsilon, 64, 8, interpret)
+    proj_grad = pallas_projector_grad_banded_hdw_with_cost(
+        camera, projector, hdw, g_hdw, num_disparities, kernel_size,
+        epsilon, 32, 8, interpret)
+    return cam_grad, proj_grad
+
+
+_pallas_stereo_both.defvjp(_pallas_stereo_both_fwd, _pallas_stereo_both_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def stereo_matching_pallas_hdw(
     camera: jax.Array,
     projector: jax.Array,
@@ -453,6 +533,7 @@ def stereo_matching_pallas_hdw(
     kernel_size: int = 15,
     epsilon: float = EPSILON,
     interpret: bool = False,
+    grad_projector: bool = False,
 ) -> jax.Array:
     """Differentiable banded ZNCC cost volume in **padded HDW layout**.
 
@@ -469,12 +550,21 @@ def stereo_matching_pallas_hdw(
     a v5e — more than the backward kernel's useful work.  Keeping the
     padded layout end-to-end eliminates every volume-sized XLA copy from
     the training step.
+
+    ``grad_projector=True`` additionally produces the projector gradient
+    through the symmetric closed-form Pallas kernel
+    (:func:`..pallas_zncc_bwd.pallas_projector_grad_banded_hdw_with_cost`)
+    — the backward half the reference never implemented
+    (custma/stereo_matching_wrapper.py:33).
     """
+    if grad_projector:
+        return _pallas_stereo_hdw_both(camera, projector, num_disparities,
+                                       kernel_size, epsilon, interpret)
     return _pallas_stereo_hdw(camera, projector, num_disparities,
                               kernel_size, epsilon, interpret)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def stereo_matching_pallas(
     camera: jax.Array,
     projector: jax.Array,
@@ -482,16 +572,24 @@ def stereo_matching_pallas(
     kernel_size: int = 15,
     epsilon: float = EPSILON,
     interpret: bool = False,
+    grad_projector: bool = False,
 ) -> jax.Array:
     """Differentiable banded ZNCC cost volume with the Pallas forward.
 
     Drop-in for :func:`..zncc.stereo_matching` in banded mode: same
     ``[H, W, D+1]`` output, same analytic camera gradient (the backward
-    runs the closed-form XLA VJP; projector gradient is a symbolic zero,
-    matching the reference's None, custma/stereo_matching_wrapper.py:33).
+    runs the closed-form XLA VJP; by default the projector gradient is a
+    symbolic zero, matching the reference's None,
+    custma/stereo_matching_wrapper.py:33).  ``grad_projector=True``
+    enables the Pallas projector backward (both gradients on the kernel
+    path; the parity-layout cotangent pays one explicit transpose
+    adapter into the padded-HDW layout the kernels consume).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter — the
     CPU-testing path (survey §5.2: the TPU analogue of a sanitizer build).
     """
+    if grad_projector:
+        return _pallas_stereo_both(camera, projector, num_disparities,
+                                   kernel_size, epsilon, interpret)
     return _pallas_stereo(camera, projector, num_disparities, kernel_size,
                           epsilon, interpret)

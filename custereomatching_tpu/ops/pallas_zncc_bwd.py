@@ -462,6 +462,324 @@ def pallas_camera_grad_banded_hdw(
                     hb, dt, n_d, interpret, direct_g=True)
 
 
+# ---------------------------------------------------------------------------
+# Projector gradient (the reference's unimplemented backward half)
+# ---------------------------------------------------------------------------
+#
+# The reference returns None for the projector gradient
+# (custma/stereo_matching_wrapper.py:33); this kernel fills that hole with
+# the symmetric closed-form VJP.  Derivation (mean-term omission is exact,
+# symmetrically to the camera case: Σ over a window of centered values is
+# identically zero):
+#
+#   ∂c[h,w,d]/∂proj'(py,px) = g·(cam'(py, px+d)·r − ex2·proj'(py,px)·n·r³)
+#   for windows (h,w) with |h−py| ≤ p and |w−(px+d)| ≤ p.
+#
+# Writing every per-plane field SHIFTED to projector coordinates,
+# f̃_d[h,x] = f_d[h, x+d] (box2d commutes with the column shift):
+#
+#   proj_grad = Σ_d cam̃_d ⊙ box2d(g̃r_d)          (in-kernel, per plane)
+#             − box2d(Σ_d g̃r_d·μx̃_d)             (z2: XLA epilogue box)
+#             − proj ⊙ box2d(Σ_d b̃p_d)           (z3)
+#             + box2d(μy ⊙ Σ_d b̃p_d)             (μy(h, (x+d)−d) = μy[h,x]
+#                                                  — the shift cancels!)
+#   with bp = g·ex2·n·r³ = g·c·r²·ex2 (cost residual, n·r = c).
+#
+# Structure mirrors the camera with-cost backward: one box pass + a few
+# elementwise ops per plane, three D-reduced accumulators, box filters in
+# a tiny XLA epilogue.  The +d gathers are realized exactly like the
+# camera kernel's −d gathers: zero-margined staging buffers, ONE dynamic
+# lane roll per consumed array per plane (by the tile's base disparity),
+# then static slices at offset j.
+
+
+def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
+                     a1p_ref, z2_ref, z3_ref,
+                     cam_vmem, proj_vmem, g_vmem, c_vmem,
+                     sx_scr, ex2_scr, ey2_scr,
+                     a1p_scr, z2_scr, z3_scr, sems,
+                     *, D: int, k: int, eps: float, hb: int, dt: int,
+                     wo: int, won: int, gw: int, sxw: int, cw: int,
+                     wcc: int, g_rows: int, n_last: int):
+    """Grid step = disparity planes [d_idx·dt, +dt) of an hb-row tile.
+
+    Column maps (image col → buffer col): camera band +2p (width cw,
+    stats box input); projector band +2p (width wcc); g staging +p
+    (width gw, zero margins for the +d reach); c staging +p (width gw).
+    Stats: camera μx/ex2 at width sxw (stats col s ↔ camera center col
+    s−p, serving all +d shifts); projector ey2 at the lane-aligned ext
+    width ``won`` (stats col e ↔ projector center col e−p — unshifted).
+
+    ``z2``/``z3`` accumulate on the EXTENDED column axis e = x + p,
+    x ∈ [−p, ...): shifted fields carry REAL data at negative image
+    columns (volume cols [d−p, d−1] at the left border), which the
+    XLA-epilogue box filter must see; a center-only accumulation loses
+    them (verified against the oracle).  Columns e ≥ wo + 2p are zero by
+    construction (the staged g's zero margin).
+    """
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    p = k // 2
+    hbe = hb + 2 * p
+    band_rows = _round_up(hbe + 2 * p, 8)
+    inv_k2 = 1.0 / float(k * k)
+
+    @pl.when(d_idx == 0)
+    def _load_and_stats():
+        r0 = h_idx * hb
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
+        cam_dma.start()
+        proj_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
+
+        cam = cam_vmem[:, :]
+        sx = _box_from_band(cam, k, hbe, sxw)
+        sx_scr[:, :] = sx * inv_k2                     # μx, pre-scaled
+        ex2_scr[:, :] = _box_from_band(cam * cam, k, hbe, sxw) \
+            - sx * sx * inv_k2
+        proj = proj_vmem[:, :]
+        sy = _box_from_band(proj, k, hbe, won)
+        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, won)
+                         - sy * sy * inv_k2)
+
+        a1p_scr[:, :] = jnp.zeros((hb, wo), a1p_scr.dtype)
+        z2_scr[:, :] = jnp.zeros((hb, won), z2_scr.dtype)
+        z3_scr[:, :] = jnp.zeros((hb, won), z3_scr.dtype)
+        # Zero the staging buffers once per row tile: the column margins
+        # ([0, p) and [p+wo, gw)) never receive DMA bytes but are
+        # consumed by the +d-shifted slices (the beyond-the-volume
+        # reach, zero by the cotangent contract).  Whole-buffer stores
+        # keep every write lane-aligned.
+        g_vmem[:, :, :] = jnp.zeros(g_vmem.shape, g_vmem.dtype)
+        c_vmem[:, :, :] = jnp.zeros(c_vmem.shape, c_vmem.dtype)
+
+    r0 = h_idx * hb
+    s_want = r0 - p
+    s0 = jnp.clip(s_want, 0, g_rows - hbe)
+    # Lane offset 0: DMA lane offsets must be 128-aligned, so the −p of
+    # the e-coordinate is folded into the rolls below instead (the
+    # wrapped-in columns land in the staging buffers' zero right margin).
+    g_dma = pltpu.make_async_copy(
+        g_hbm.at[pl.ds(s0, hbe), pl.ds(d_idx * dt, dt), :],
+        g_vmem.at[pl.ds(p, hbe), slice(None), pl.ds(0, wo)], sems.at[2])
+    g_dma.start()
+    c_dma = pltpu.make_async_copy(
+        c_hbm.at[pl.ds(jnp.clip(r0, 0, g_rows - hb), hb),
+                 pl.ds(d_idx * dt, dt), :],
+        c_vmem.at[slice(None), slice(None), pl.ds(0, wo)], sems.at[3])
+    c_dma.start()
+
+    d_base = d_idx * dt
+    # Left-roll by d_base: rolled[u] = buf[u + d_base]; static slice
+    # offsets then select each plane's +j shift.  Consumed columns stay
+    # clear of the circular wrap (gw ≥ won + n_d·dt).
+    cam_roll = pltpu.roll(cam_vmem[:, :], cw - d_base, axis=1)
+    mux_roll = pltpu.roll(sx_scr[:, :], sxw - d_base, axis=1)
+    ex2_roll = pltpu.roll(ex2_scr[:, :], sxw - d_base, axis=1)
+    ey2p = ey2_scr[:, :]                               # unshifted [hbe, won]
+
+    g_dma.wait()
+    c_dma.wait()
+
+    delta = (r0 - p) - s0
+    trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
+    rmask = jnp.logical_and(trow + (r0 - p) >= 0,
+                            trow + (r0 - p) < g_rows)
+
+    def plane(j):
+        # ex2/μx at shifted cols: stats slice start j covers ext e+d.
+        ex2_sh = ex2_roll[:, j:j + won]                # [hbe, won]
+        r = lax.rsqrt(ex2_sh * ey2p + eps)
+        # Staged at lane 0, so the g̃/c̃ left-roll is by (d_base − p):
+        # rolled[u] = staged[u + d_base − p]; slice start j then reads
+        # image column (e − p) + d.  Wrapped-in columns (d_base < p) come
+        # from the zero right margin.
+        gc_shift = jnp.mod(jnp.int32(p) - d_base, gw)
+        graw = jnp.where(
+            rmask,
+            pltpu.roll(g_vmem[pl.ds(delta + p, hbe), j, :],
+                       gc_shift, axis=1)[:, j:j + won],
+            0.0)                                       # [hbe, won] g̃
+        gr = graw * r
+        boxgr = _box_from_band(gr, k, hb, wo)
+        a1p_scr[:, :] = a1p_scr[:, :] + boxgr * cam_roll[
+            2 * p:2 * p + hb, j + 2 * p:j + 2 * p + wo]
+        c_sl = (slice(p, p + hb), slice(None))
+        z2_scr[:, :] = z2_scr[:, :] + gr[c_sl] * mux_roll[p:p + hb,
+                                                          j:j + won]
+        c_sh = pltpu.roll(c_vmem[:, j, :], gc_shift,
+                          axis=1)[:, j:j + won]        # [hb, won] c̃
+        r_c = r[c_sl]
+        z3_scr[:, :] = z3_scr[:, :] + (graw[c_sl] * c_sh
+                                       * (r_c * r_c) * ex2_sh[c_sl])
+
+    if n_last == dt:
+        for j in range(dt):
+            plane(j)
+    else:
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
+
+    @pl.when(d_idx == n_d - 1)
+    def _epilogue():
+        a1p_ref[:, :] = a1p_scr[:, :]
+        z2_ref[:, :] = z2_scr[:, :]
+        z3_ref[:, :] = z3_scr[:, :]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def pallas_projector_grad_banded_hdw_with_cost(
+    camera: jax.Array,
+    projector: jax.Array,
+    cost_volume_hdw: jax.Array,
+    padded_hdw_grad: jax.Array,
+    num_disparities: int,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    block_rows: int = 32,
+    block_disparities: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Projector-image VJP of the banded ZNCC volume (Pallas, direct-DMA
+    padded-HDW cotangent + cost residual).
+
+    The half the reference never implemented
+    (custma/stereo_matching_wrapper.py:33 returns None).  Same contracts
+    as :func:`pallas_camera_grad_banded_hdw_with_cost`: cotangent entries
+    for padded rows/planes/columns must be zero; the volume must share
+    the cotangent's padded-HDW layout and disparity tiling.
+    """
+    H, W = camera.shape
+    D = int(num_disparities)
+    k = int(kernel_size)
+    p = k // 2
+    hb = _round_up(int(block_rows), 8)
+    wo = _round_up(max(W, 128), 128)
+    n_planes = padded_hdw_grad.shape[1]
+    if padded_hdw_grad.shape[2] != wo:
+        raise ValueError(
+            f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
+            f"expected {wo}")
+    dtb = _round_up(int(block_disparities), 8)
+    dt = 8
+    for cand in range(8, dtb + 1, 8):
+        if n_planes % cand == 0:
+            dt = cand
+    n_d = n_planes // dt
+    if n_planes - (D + 1) >= dt:
+        raise ValueError(
+            f"cost volume has {n_planes - (D + 1)} unwritten padding "
+            f"planes but the backward's disparity tile is {dt}; produce "
+            f"the volume and cotangent with the same tiling")
+
+    hbe = hb + 2 * p
+    # No row tile may straddle the volume's padded extent (clamped DMA
+    # would deliver shifted rows); mirror _run_bwd's guard.
+    while hb > 8 and -(-H // hb) * hb > max(padded_hdw_grad.shape[0], H):
+        hb -= 8
+        hbe = hb + 2 * p
+
+    if 2 * p > 128:
+        raise ValueError(f"kernel_size {k} exceeds the lane-aligned ext "
+                         f"margin (k//2*2 must be <= 128)")
+    won = wo + 128                         # lane-aligned ext width (e axis)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    gw = _round_up(won + lp, 128)          # g/c staging width (+d reach)
+    sxw = _round_up(won + lp, 128)         # camera stats width
+    cw = _round_up(sxw + 2 * p, 128)       # camera band width (stats halo)
+    wcc = _round_up(won + 2 * p, 128)      # projector band width
+
+    n_h = -(-H // hb)
+    h_pad = n_h * hb
+    band_rows = _round_up(hbe + 2 * p, 8)
+    src_rows = h_pad + band_rows
+
+    cam_p = jnp.zeros((src_rows, cw), camera.dtype)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (2 * p, 2 * p))
+    proj_p = jnp.zeros((src_rows, wcc), projector.dtype)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, 2 * p))
+
+    g_rows = padded_hdw_grad.shape[0]
+    if g_rows < hbe:
+        padded_hdw_grad = jnp.pad(padded_hdw_grad,
+                                  ((0, hbe - g_rows), (0, 0), (0, 0)))
+        cost_volume_hdw = jnp.pad(cost_volume_hdw,
+                                  ((0, hbe - g_rows), (0, 0), (0, 0)))
+        g_rows = hbe
+    if cost_volume_hdw.shape != padded_hdw_grad.shape:
+        raise ValueError(
+            f"cost residual shape {cost_volume_hdw.shape} != cotangent "
+            f"{padded_hdw_grad.shape}")
+
+    kernel = functools.partial(
+        _proj_bwd_kernel, D=D, k=k, eps=float(epsilon), hb=hb, dt=dt,
+        wo=wo, won=won, gw=gw, sxw=sxw, cw=cw, wcc=wcc, g_rows=g_rows,
+        n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)))
+
+    map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
+                            memory_space=pltpu.VMEM)
+    ext_spec = pl.BlockSpec((hb, won), lambda h, d: (h, 0),
+                            memory_space=pltpu.VMEM)
+    a1p, z2, z3 = pl.pallas_call(
+        kernel,
+        grid=(n_h, n_d),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(map_spec, ext_spec, ext_spec),
+        out_shape=(jax.ShapeDtypeStruct((h_pad, wo), camera.dtype),
+                   jax.ShapeDtypeStruct((h_pad, won), camera.dtype),
+                   jax.ShapeDtypeStruct((h_pad, won), camera.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, cw), camera.dtype),        # camera band
+            pltpu.VMEM((band_rows, wcc), camera.dtype),       # projector
+            pltpu.VMEM((hbe + 2 * p, dt, gw), camera.dtype),  # g staging
+            pltpu.VMEM((hb, dt, gw), camera.dtype),           # c staging
+            pltpu.VMEM((hbe, sxw), camera.dtype),             # μx
+            pltpu.VMEM((hbe, sxw), camera.dtype),             # ex2
+            pltpu.VMEM((hbe, won), camera.dtype),             # ey2 (proj)
+            pltpu.VMEM((hb, wo), camera.dtype),               # A1p acc
+            pltpu.VMEM((hb, won), camera.dtype),              # z2 acc
+            pltpu.VMEM((hb, won), camera.dtype),              # z3 acc
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * k * H * W * (D + 1),
+            bytes_accessed=2 * H * W * (D + 1) * 4 + 2 * H * W * 4,
+            transcendentals=H * W * (D + 1),
+        ),
+        interpret=interpret,
+    )(cam_p, proj_p, padded_hdw_grad, cost_volume_hdw)
+
+    from custereomatching_tpu.ops.zncc import box2d
+
+    # XLA epilogue on the EXTENDED column axis e = x + p (see kernel
+    # docstring): evaluate the box filters on the e-indexed fields and
+    # slice the image columns at offset p.
+    a1p = a1p[:H, :W]
+    z2e = z2[:H]
+    z3e = z3[:H]
+    k2 = jnp.asarray(k * k, camera.dtype)
+    # μy at extended positions: window means of windows centered at
+    # x = e − p, including the partial windows left/right of the image.
+    muy_e = box2d(jnp.pad(projector, ((0, 0), (p, p))), k) / k2
+    muy_e = jnp.pad(muy_e, ((0, 0), (0, won - (W + 2 * p))))
+    t2 = box2d(z2e, k)[:, p:p + W]
+    t3 = projector * box2d(z3e, k)[:, p:p + W]
+    t4 = box2d(muy_e * z3e, k)[:, p:p + W]
+    return a1p - t2 - t3 + t4
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def pallas_camera_grad_banded_hdw_with_cost(
     camera: jax.Array,

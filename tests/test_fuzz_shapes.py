@@ -70,6 +70,24 @@ def test_backends_match_float64_oracle(case):
                                rtol=1e-3, atol=5e-5,
                                err_msg=f"pallas grad {case}")
 
+    # Both-gradients variant: camera AND projector closed-form kernels
+    # vs golden autodiff (the projector half the reference never wrote).
+    gcb, gpb = jax.grad(
+        lambda c, p: loss(
+            lambda cc: stereo_matching_pallas(cc, p, D, k, 1e-8, True,
+                                              True), c),
+        argnums=(0, 1))(jnp.asarray(cam), jnp.asarray(proj))
+    np.testing.assert_allclose(np.asarray(gcb) / scale, want_grad / scale,
+                               rtol=1e-3, atol=5e-5,
+                               err_msg=f"pallas both-cam grad {case}")
+    want_pgrad = np.asarray(golden.zncc_projector_grad(
+        jnp.asarray(cam), jnp.asarray(proj), jnp.asarray(g), D, k))
+    pscale = np.abs(want_pgrad).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gpb) / pscale,
+                               want_pgrad / pscale,
+                               rtol=1e-3, atol=5e-5,
+                               err_msg=f"pallas proj grad {case}")
+
 
 @pytest.mark.parametrize("case", CASES[:3], ids=str)
 def test_fused_pipeline_random_shapes(case):
