@@ -245,14 +245,33 @@ def main() -> None:
     fps = 1.0 / t_pipe
 
     # Emit the headline JSON line FIRST so a harness timeout during the
-    # secondary measurements cannot lose it.
+    # secondary measurements cannot lose it.  The bound is the
+    # CALIBRATED op-level model when per-class VPU rates are available
+    # (measured microbenchmarks, cached in vpu_rates.json — see
+    # utils/kernel_model.py and BASELINE.md); datasheet fallback
+    # otherwise.
+    rates = None
     try:
-        from custereomatching_tpu.utils import zncc_roofline
+        from custereomatching_tpu.utils import (
+            fused_forward_cost,
+            kernel_bound,
+            measure_vpu_rates,
+        )
 
-        bound_fps = zncc_roofline(H, W, D, K,
-                                  materialize_volume=False)["bound_fps"]
+        rates = measure_vpu_rates(measure_if_missing=False)
+        if rates is not None:
+            bound_fps = kernel_bound(fused_forward_cost(H, W, D, K, 32, 40),
+                                     rates)["bound_fps"]
     except Exception:
-        bound_fps = _device_bandwidth() / (H * W * (D + 1) * 4)
+        rates = None
+    if rates is None:
+        try:
+            from custereomatching_tpu.utils import zncc_roofline
+
+            bound_fps = zncc_roofline(H, W, D, K,
+                                      materialize_volume=False)["bound_fps"]
+        except Exception:
+            bound_fps = _device_bandwidth() / (H * W * (D + 1) * 4)
     print(json.dumps({
         "metric": "kitti_stereo_pipeline_frames_per_s_per_chip",
         "value": round(fps, 3),
@@ -325,18 +344,55 @@ def main() -> None:
     except Exception as e:  # parity report must never break the bench
         print(f"[bench] parity check skipped: {e}", file=sys.stderr)
     try:
-        from custereomatching_tpu.utils import zncc_roofline
+        if rates is not None:
+            from custereomatching_tpu.utils import (
+                fused_backward_c_cost,
+                fused_forward_cost,
+                kernel_bound,
+                volume_backward_cost,
+                volume_forward_cost,
+            )
 
-        rl = zncc_roofline(H, W, D, K, materialize_volume=False)
-        print(
-            f"[bench] fused-pipeline roofline: bound {rl['bound_fps']:.1f} "
-            f"fps ({rl['bound_by']}-bound; mem {rl['t_memory_s']*1e3:.2f} ms,"
-            f" compute {rl['t_compute_s']*1e3:.2f} ms) -> achieving "
-            f"{fps/rl['bound_fps']*100:.1f}% of bound",
-            file=sys.stderr,
-        )
-    except Exception:
-        pass
+            b_fwd = kernel_bound(fused_forward_cost(H, W, D, K, 32, 40),
+                                 rates)["bound_s"]
+            b_tfwd = kernel_bound(
+                fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
+                rates)["bound_s"]
+            b_tbwd = kernel_bound(fused_backward_c_cost(H, W, D, K, 48, 8),
+                                  rates)["bound_s"]
+            b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
+                                  rates)["bound_s"]
+            b_vbwd = kernel_bound(
+                volume_backward_cost(H, W, D, K, 64, 8, True),
+                rates)["bound_s"]
+            b_train = b_tfwd + b_tbwd
+            b_vfb = b_vfwd + b_vbwd
+            print(
+                "[bench] calibrated rooflines (microbenchmarked op rates, "
+                "utils/kernel_model.py): "
+                f"fused fwd bound {b_fwd*1e3:.2f} ms -> "
+                f"{b_fwd/t_pipe*100:.1f}% achieved; "
+                f"train step bound {b_train*1e3:.2f} ms "
+                f"(fwd+vol {b_tfwd*1e3:.2f} + bwd {b_tbwd*1e3:.2f}) -> "
+                f"{b_train/t_train*100:.1f}% achieved; "
+                f"volume fwd bound {b_vfwd*1e3:.2f} ms -> "
+                f"{b_vfwd/t_fwd_h*100:.1f}%; "
+                f"volume fwd+bwd bound {b_vfb*1e3:.2f} ms -> "
+                f"{b_vfb/t_fwdbwd_h*100:.1f}%",
+                file=sys.stderr,
+            )
+        else:
+            from custereomatching_tpu.utils import zncc_roofline
+
+            rl = zncc_roofline(H, W, D, K, materialize_volume=False)
+            print(
+                f"[bench] fused-pipeline roofline (datasheet fallback): "
+                f"bound {rl['bound_fps']:.1f} fps -> achieving "
+                f"{fps/rl['bound_fps']*100:.1f}% of bound",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] roofline report skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

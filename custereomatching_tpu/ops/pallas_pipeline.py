@@ -70,14 +70,12 @@ class PipelineMaps(NamedTuple):
     confidence: jax.Array      # per-pixel max correlation
 
 
-def _fused_kernel(cam_hbm, proj_hbm,
-                  am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
-                  cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
-                  m_scr, am_scr, s_scr, t_scr, sems,
-                  *, D: int, k: int, eps: float, beta: float,
+def _fused_kernel(*refs,
+                  D: int, k: int, eps: float, beta: float,
                   threshold: float, hb: int, dt: int,
                   wo: int, wcc: int, pw: int, syw: int, lp: int,
-                  unnormalized: bool):
+                  unnormalized: bool, write_volume: bool = False,
+                  n_last: int = 0):
     """Fused forward: banded ZNCC planes + an online disparity head.
 
     Head variants (selected statically by ``unnormalized``):
@@ -99,7 +97,23 @@ def _fused_kernel(cam_hbm, proj_hbm,
     ``exp`` then contributes exact zero) — measured cheaper by ~50% of a
     kernel pass than splitting the unrolled loop into a masked last-tile
     variant, whose doubled code wrecks Mosaic's schedule at dt≈40.
+
+    ``write_volume=True`` additionally streams each cost plane to a
+    ``[hb, dt, wo]`` volume output (the TRAINING forward: the volume is
+    the backward's cost residual, killing its per-plane cross-term
+    recompute).  Padded tail planes of the last tile are skipped
+    (``n_last``), mirroring the banded volume kernel.
     """
+    if write_volume:
+        (cam_hbm, proj_hbm,
+         cv_ref, am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
+         cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
+         m_scr, am_scr, s_scr, t_scr, sems) = refs
+    else:
+        (cam_hbm, proj_hbm,
+         am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
+         cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
+         m_scr, am_scr, s_scr, t_scr, sems) = refs
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -107,6 +121,7 @@ def _fused_kernel(cam_hbm, proj_hbm,
     band_rows = _round_up(hb + 2 * p, 8)
     inv_k2 = 1.0 / float(k * k)
     inv_b2 = 1.0 / float(beta * beta)
+    inv_b = 1.0 / float(beta)
 
     @pl.when(d_idx == 0)
     def _load_stats_init():
@@ -147,7 +162,7 @@ def _fused_kernel(cam_hbm, proj_hbm,
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
     beps = beta * eps
 
-    for j in range(dt):
+    def plane(j):
         c0 = dt - 1 - j
         prod = band * psh[:, c0:c0 + wcc]          # β·cam·proj
         sxy_b = _box_from_band(prod, k, hb, wo)    # β·sxy
@@ -159,6 +174,9 @@ def _fused_kernel(cam_hbm, proj_hbm,
         # Neutralize padded tail planes: −3e38 makes exp exactly 0 and
         # loses every max comparison.
         bc = jnp.where(d <= D, bc, -3.0e38)
+        if write_volume:
+            # The backward consumes this plane as its cost residual.
+            cv_ref[:, j, :] = bc * inv_b
 
         # Accumulators round-trip through scratch each iteration: the ref
         # stores cut the value chains so Mosaic can reuse the loop
@@ -181,6 +199,23 @@ def _fused_kernel(cam_hbm, proj_hbm,
             t_scr[:, :] = t_scr[:, :] * scale + d_f * e
             am_scr[:, :] = jnp.where(better, d_f, am_scr[:, :])
             m_scr[:, :] = jnp.where(better, bc, bm)
+
+    if write_volume and n_last != dt:
+        # dt is small (8) on the volume-writing path, where the loop
+        # split is cheap (round-2 lesson: only dt≈40 splits hurt) and
+        # skipping the padded tail mirrors the banded volume kernel.
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
+    else:
+        for j in range(dt):
+            plane(j)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -205,10 +240,14 @@ def _pipeline_forward_full(
     block_rows: int = 32,
     block_disparities: int = 40,
     interpret: bool = False,
+    write_volume: bool = False,
 ):
     """Run the fused kernel; returns the six raw PADDED ``[h_pad, wo]``
     maps ``(am, soft, mask, conf, s, t)`` — s/t are the online-softmax
-    residuals the trainable VJP consumes."""
+    residuals the trainable VJP consumes.  With ``write_volume=True`` a
+    seventh output is the padded-HDW cost volume (the training path's
+    backward residual); use small disparity blocks (e.g. 8) there — the
+    volume tile is double-buffered VMEM."""
     if camera.ndim != 2 or camera.shape != projector.shape:
         raise ValueError(
             f"expected matching [H, W] images, got {camera.shape} vs "
@@ -260,20 +299,29 @@ def _pipeline_forward_full(
         _fused_kernel, D=D, k=k, eps=float(epsilon), beta=float(beta),
         threshold=float(threshold), hb=hb, dt=dt,
         wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp,
-        unnormalized=_unnormalized_head(beta, D))
+        unnormalized=_unnormalized_head(beta, D),
+        write_volume=write_volume,
+        n_last=(D + 1) - (n_d - 1) * dt)
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
-    am, soft, mask, conf, s, t = pl.pallas_call(
+    out_specs = (map_spec,) * 6
+    out_shape = (map_shape,) * 6
+    if write_volume:
+        out_specs = (pl.BlockSpec((hb, dt, wo), lambda h, d: (h, d, 0),
+                                  memory_space=pltpu.VMEM),) + out_specs
+        out_shape = (jax.ShapeDtypeStruct((h_pad, n_d * dt, wo),
+                                          camera.dtype),) + out_shape
+    outs = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(map_spec,) * 6,
-        out_shape=(map_shape,) * 6,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((band_rows, wcc), camera.dtype),   # camera band
             pltpu.VMEM((band_rows, pw), camera.dtype),    # projector band
@@ -289,11 +337,16 @@ def _pipeline_forward_full(
         ],
         cost_estimate=pl.CostEstimate(
             flops=(2 * 2 * k + 12) * H * W * (D + 1),
-            bytes_accessed=2 * H * W * 4 + 4 * H * W * 4,
+            bytes_accessed=2 * H * W * 4 + 4 * H * W * 4
+            + (H * W * (D + 1) * 4 if write_volume else 0),
             transcendentals=3 * H * W * (D + 1),
         ),
         interpret=interpret,
     )(cam_p, proj_p)
+    if write_volume:
+        cv, am, soft, mask, conf, s, t = outs
+        return am, soft, mask, conf, s, t, cv
+    am, soft, mask, conf, s, t = outs
     return am, soft, mask, conf, s, t
 
 
@@ -460,8 +513,12 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
         # Head cotangent for this plane.  Map slot 0 (m_e) is the max the
         # forward normalized against — zero when the unnormalized head
         # produced the residuals.  Padded planes are never iterated, so
-        # no validity masking exists.
-        w = jnp.exp(beta * (c - m_e)) * inv_s_e
+        # no validity masking exists.  The select guards out-of-image
+        # positions in NORMALIZED mode, where m_e = 0 but the recomputed
+        # c can approach 1: exp(β·c) overflows and Inf·0 = NaN would
+        # poison the box filter (select keeps the dead branch's Inf out).
+        w = jnp.where(inv_s_e > 0.0,
+                      jnp.exp(beta * (c - m_e)), 0.0) * inv_s_e
         g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
 
         gr = g_d * r
@@ -578,6 +635,272 @@ def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
     return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
 
 
+def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
+                        a1_ref, b_ref, grmu_ref,
+                        cam_vmem, proj_vmem, maps_vmem, c_vmem, gr_scr,
+                        ex2_scr, sy_scr, ey2_scr,
+                        a1_scr, b_scr, grmu_scr, sems,
+                        *, H: int, W: int, D: int, k: int, eps: float,
+                        beta: float, hb: int, dt: int,
+                        wo: int, woe: int, wcc: int, pw: int, syw: int,
+                        lp: int, maps_rows: int, g_rows: int, n_last: int):
+    """Cost-residual fused backward: the training forward saved the cost
+    volume, so the per-plane cross-term recompute (``prod`` + its box
+    pass — the dominant cost of the recompute-from-images variant)
+    vanishes.  Per plane: one DMA'd cost read, the head cotangent, one
+    ``box2d(g·r)`` pass, three accumulations.  All per-plane elementwise
+    work runs at the aligned center width ``wo`` — the ±p column reach of
+    the box comes from ``gr_scr``'s zero margins (g_d is identically zero
+    outside the image because the residual maps are)."""
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    p = k // 2
+    hbe = hb + 2 * p
+    band_rows = _round_up(hbe + 2 * p, 8)
+    inv_k2 = 1.0 / float(k * k)
+
+    @pl.when(d_idx == 0)
+    def _load_and_stats():
+        r0 = h_idx * hb
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
+        # Clamp correction folded into the DMA DESTINATION offset
+        # (o = p − δ ∈ [0, 2p]): every subsequent VMEM read is then a
+        # STATIC row slice at offset p — dynamic sublane bases in the
+        # plane loop are what the per-plane read path cannot afford.
+        s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
+        maps_dma = pltpu.make_async_copy(
+            maps_hbm.at[pl.ds(s0m, hbe), :, :],
+            maps_vmem.at[pl.ds(p - ((r0 - p) - s0m), hbe)], sems.at[2])
+        cam_dma.start()
+        proj_dma.start()
+        maps_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
+        maps_dma.wait()
+
+        cam = cam_vmem[:, :]
+        sx = _box_from_band(cam, k, hbe, woe)
+        ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
+        ex2_scr[:, :] = ex2[:, p:p + wo]            # center columns only
+        proj = proj_vmem[:, :]
+        sy = _box_from_band(proj, k, hbe, syw)
+        sy_scr[:, :] = sy * inv_k2                  # μy, pre-scaled
+        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
+                         - sy * sy * inv_k2)
+
+        a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+        gr_scr[:, 0:p] = jnp.zeros((hbe, p), gr_scr.dtype)
+        gr_scr[:, p + wo:woe] = jnp.zeros((hbe, woe - wo - p),
+                                          gr_scr.dtype)
+
+    r0 = h_idx * hb
+
+    # Double-buffered cost prefetch: step s consumes the tile its
+    # PREVIOUS step started (slot s % 2) and immediately launches step
+    # s+1's DMA into the other slot — the per-step DMA otherwise stalls
+    # ~20% of the plane loop (the bands amortize over a whole row tile;
+    # the cost tile cannot).
+    def _issue_c(hi, di, sl):
+        r0i = hi * hb
+        s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
+            c_vmem.at[sl, pl.ds(p - ((r0i - p) - s0i), hbe)],
+            sems.at[3 + sl])
+
+    step = h_idx * n_d + d_idx
+    slot = lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_c():
+        _issue_c(h_idx, d_idx, slot).start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < pl.num_programs(0) * n_d)
+    def _prefetch_c():
+        _issue_c(nstep // n_d, lax.rem(nstep, n_d),
+                 lax.rem(nstep, 2)).start()
+
+    ex2 = ex2_scr[:, :]                             # [hbe, wo]
+
+    d_base = d_idx * dt
+    shift = lp - (d_base + dt - 1)
+    psh = pltpu.roll(proj_vmem[:, :], pw - shift, axis=1)
+    syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
+    ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
+
+    _issue_c(h_idx, d_idx, slot).wait()
+
+    trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
+    rmask = jnp.logical_and(trow + (r0 - p) >= 0,
+                            trow + (r0 - p) < g_rows)
+
+    def map_w(i):
+        """Residual map i at [hbe, wo], zero outside the image (reads
+        rows the clamped DMA left stale are masked off)."""
+        raw = maps_vmem[p:p + hbe, i, :]
+        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
+        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
+        ok = jnp.logical_and(
+            jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
+        return jnp.where(ok, raw, 0.0)
+
+    m_e = map_w(0)
+    inv_s_e = map_w(1)
+    tos_e = map_w(2)
+    am_e = map_w(3)
+    gs_e = map_w(4)         # ĝ_soft · mask · β
+    gc_e = map_w(5)         # ĝ_conf
+
+    def plane(j):
+        c0 = dt - 1 - j
+        ey2c = ey2b[:, c0 + p:c0 + p + wo]          # [hbe, wo]
+        r = lax.rsqrt(ex2 * ey2c + eps)
+        c_t = jnp.where(rmask, c_vmem[slot, p:p + hbe, j, :], 0.0)
+        d_f = jnp.float32(0) + (d_base + j)
+        # Guard out-of-image positions in normalized mode (m_e = 0 there
+        # but c_t can be ~1: exp(β·c) overflows; Inf·0 = NaN).
+        w = jnp.where(inv_s_e > 0.0,
+                      jnp.exp(beta * (c_t - m_e)), 0.0) * inv_s_e
+        g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
+
+        gr = g_d * r
+        gr_scr[:, p:p + wo] = gr
+        boxgr = _box_from_band(gr_scr[:, :], k, hb, wo)
+        a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[2 * p:2 * p + hb,
+                                                  c0 + 2 * p:c0 + 2 * p + wo]
+        csl = slice(p, p + hb)
+        r_c = r[csl, :]
+        b_scr[:, :] = b_scr[:, :] + (g_d[csl, :] * c_t[csl, :]
+                                     * (r_c * r_c) * ey2c[csl, :])
+        grmu_scr[:, :] = grmu_scr[:, :] + gr[csl, :] * syb[
+            p:p + hb, c0 + p:c0 + p + wo]
+
+    if n_last == dt:
+        for j in range(dt):
+            plane(j)
+    else:
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
+
+    @pl.when(d_idx == n_d - 1)
+    def _epilogue():
+        a1_ref[:, :] = a1_scr[:, :]
+        b_ref[:, :] = b_scr[:, :]
+        grmu_ref[:, :] = grmu_scr[:, :]
+
+
+def _fused_train_bwd_c_impl(camera, projector, maps_stack, cost, D, k, eps,
+                            beta, block_rows, interpret):
+    """Driver for the cost-residual fused backward."""
+    H, W = camera.shape
+    p = k // 2
+    hb = _round_up(int(block_rows), 8)
+    g_rows = cost.shape[0]
+    # No row tile may straddle the volume's padded extent (clamped DMA
+    # would deliver shifted rows for in-range outputs).
+    while hb > 8 and -(-H // hb) * hb > max(g_rows, H):
+        hb -= 8
+    hbe = hb + 2 * p
+    n_planes = cost.shape[1]
+    dt = 8
+    for cand in range(8, 17, 8):
+        if n_planes % cand == 0:
+            dt = cand
+    n_d = n_planes // dt
+    if n_planes - (D + 1) >= dt:
+        raise ValueError(
+            f"cost volume has {n_planes - (D + 1)} unwritten padding "
+            f"planes but the backward's disparity tile is {dt}")
+
+    wo = _round_up(max(W, 128), 128)
+    woe = wo + 2 * p
+    wcc = _round_up(woe + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+
+    n_h = -(-H // hb)
+    h_pad = n_h * hb
+    band_rows = _round_up(hbe + 2 * p, 8)
+    src_rows = h_pad + band_rows
+
+    cam_p = jnp.zeros((src_rows, wcc), camera.dtype)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (2 * p, 2 * p))
+    proj_p = jnp.zeros((src_rows, pw), projector.dtype)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
+
+    maps_rows = maps_stack.shape[0]
+    if maps_rows < hbe:
+        maps_stack = jnp.pad(maps_stack,
+                             ((0, hbe - maps_rows), (0, 0), (0, 0)))
+        maps_rows = hbe
+    if g_rows < hbe:
+        cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
+        g_rows = hbe
+
+    kernel = functools.partial(
+        _fused_bwd_c_kernel, H=H, W=W, D=D, k=k, eps=float(eps),
+        beta=float(beta), hb=hb, dt=dt, wo=wo, woe=woe, wcc=wcc, pw=pw,
+        syw=syw, lp=lp, maps_rows=maps_rows, g_rows=g_rows,
+        n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)))
+
+    map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
+    map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
+                            memory_space=pltpu.VMEM)
+    a1, b, grmu = pl.pallas_call(
+        kernel,
+        grid=(n_h, n_d),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(map_spec, map_spec, map_spec),
+        out_shape=(map_shape, map_shape, map_shape),
+        scratch_shapes=[
+            pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera
+            pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
+            pltpu.VMEM((hbe + 2 * p, 8, wo), camera.dtype),   # maps
+            pltpu.VMEM((2, hbe + 2 * p, dt, wo),
+                       camera.dtype),                # cost tile (2 slots)
+            pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
+            pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
+            pltpu.VMEM((hbe, syw), camera.dtype),             # μy
+            pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
+            pltpu.VMEM((hb, wo), camera.dtype),               # A1
+            pltpu.VMEM((hb, wo), camera.dtype),               # B
+            pltpu.VMEM((hb, wo), camera.dtype),               # GRMU
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * k * H * W * (D + 1),
+            bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
+            transcendentals=2 * H * W * (D + 1),
+        ),
+        interpret=interpret,
+    )(cam_p, proj_p, maps_stack, cost)
+
+    from custereomatching_tpu.ops.zncc import box2d
+
+    a1 = a1[:H, :W]
+    b = b[:H, :W]
+    grmu = grmu[:H, :W]
+    k2 = jnp.asarray(k * k, camera.dtype)
+    mux = box2d(camera, k) / k2
+    return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _fused_train(camera, projector, num_disparities, kernel_size, epsilon,
                  beta, threshold, interpret):
@@ -628,7 +951,52 @@ def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
 _fused_train.defvjp(_fused_train_fwd, _fused_train_bwd)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _fused_train_v(camera, projector, num_disparities, kernel_size,
+                   epsilon, beta, threshold, interpret):
+    return _pipeline_forward(camera, projector, num_disparities,
+                             kernel_size, epsilon, beta, threshold,
+                             48, 8, interpret)
+
+
+def _fused_train_v_fwd(camera, projector, num_disparities, kernel_size,
+                       epsilon, beta, threshold, interpret):
+    H, W = camera.shape
+    am, soft, mask, conf, s, t, cv = _pipeline_forward_full(
+        camera, projector, num_disparities, kernel_size, epsilon, beta,
+        threshold, 48, 8, interpret, write_volume=True)
+    out = PipelineMaps(disparity=am[:H, :W] * mask[:H, :W],
+                       soft_disparity=soft[:H, :W], mask=mask[:H, :W],
+                       confidence=conf[:H, :W])
+    return out, (camera, projector, am, mask, conf, s, t, cv)
+
+
+def _fused_train_v_bwd(num_disparities, kernel_size, epsilon, beta,
+                       threshold, interpret, residuals, g):
+    camera, projector, am, mask, conf, s, t, cv = residuals
+    h_pad, wo = am.shape
+    H, W = camera.shape
+    gs = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
+        g.soft_disparity * beta)
+    gs = gs * mask
+    gc = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(g.confidence)
+    inv_s = 1.0 / s
+    tos = t * inv_s
+    m_for_w = (jnp.zeros_like(conf)
+               if _unnormalized_head(beta, num_disparities) else conf)
+    maps_stack = jnp.stack(
+        [m_for_w, inv_s, tos, am, gs, gc,
+         jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)
+    cam_grad = _fused_train_bwd_c_impl(
+        camera, projector, maps_stack, cv, num_disparities, kernel_size,
+        epsilon, beta, 40, interpret)
+    return cam_grad, jnp.zeros_like(projector)
+
+
+_fused_train_v.defvjp(_fused_train_v_fwd, _fused_train_v_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def stereo_pipeline_trainable(
     camera: jax.Array,
     projector: jax.Array,
@@ -638,9 +1006,10 @@ def stereo_pipeline_trainable(
     beta: float = 50.0,
     threshold: float = 0.6,
     interpret: bool = False,
+    save_volume: bool = True,
 ) -> PipelineMaps:
-    """Differentiable fused pipeline: pair → disparity maps, volume-free
-    in BOTH directions.
+    """Differentiable fused pipeline: pair → disparity maps; the
+    cost-volume COTANGENT never exists in HBM in either mode.
 
     Camera gradients flow through ``soft_disparity`` and ``confidence``
     (``disparity``/``mask`` are piecewise-constant — zero gradient a.e.,
@@ -648,9 +1017,18 @@ def stereo_pipeline_trainable(
     framework).  The projector gradient is a symbolic zero (reference
     parity, custma/stereo_matching_wrapper.py:33).
 
-    Residuals are six per-pixel maps; the backward kernel recomputes each
-    cost plane and forms the softmax-head cotangent inline, so neither
-    the cost volume nor its cotangent ever exists in HBM.
+    ``save_volume=True`` (default, fastest): the forward streams the
+    cost volume to HBM as a backward residual, so the backward skips the
+    per-plane cross-term recompute entirely (``n·r = c``) — one volume
+    write buys back the dominant backward cost.  ``save_volume=False``
+    is fully volume-free in BOTH directions (the original design): the
+    backward recomputes each cost plane from the images; residuals are
+    six per-pixel maps.  Use it when HBM is the constraint (e.g. large
+    batches of concurrent frames).
     """
+    if save_volume:
+        return _fused_train_v(camera, projector, num_disparities,
+                              kernel_size, epsilon, beta, threshold,
+                              interpret)
     return _fused_train(camera, projector, num_disparities, kernel_size,
                         epsilon, beta, threshold, interpret)

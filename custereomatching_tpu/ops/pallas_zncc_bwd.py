@@ -127,30 +127,51 @@ def _bwd_kernel(*refs,
         gr_scr[:, p + wo:woe] = jnp.zeros((hbe, woe - wo - p),
                                           gr_scr.dtype)
 
-    # Cotangent planes for this (row tile, disparity tile).
+    # Cotangent planes for this (row tile, disparity tile).  The
+    # direct-DMA path double-buffers: step s consumes the tile its
+    # previous step started and immediately launches step s+1's DMA into
+    # the other slot (the per-step transfers otherwise stall ~15-20% of
+    # the plane loop; the band DMAs amortize over a whole row tile, the
+    # per-step cotangent/cost tiles cannot).
     r0 = h_idx * hb
+    step = h_idx * n_d + d_idx
+    slot = lax.rem(step, 2)
+
+    def _issue(hi, di, sl):
+        r0i = hi * hb
+        copies = []
+        if direct_g:
+            s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+            copies.append(pltpu.make_async_copy(
+                g_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
+                g_vmem.at[sl, pl.ds(p, hbe)], sems.at[2 + sl]))
+        else:
+            copies.append(pltpu.make_async_copy(
+                g_hbm.at[pl.ds(r0i, band_rows), pl.ds(di * dt, dt), :],
+                g_vmem, sems.at[2]))
+        if have_c:
+            copies.append(pltpu.make_async_copy(
+                c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
+                         pl.ds(di * dt, dt), :],
+                c_vmem.at[sl], sems.at[4 + sl]))
+        return copies
+
     if direct_g:
-        # Rows needed: image rows [r0 − p, r0 + hb + p) = [s_want, +hbe).
-        # Clamp the start into the unpadded source; correct with δ below.
-        s_want = r0 - p
-        s0 = jnp.clip(s_want, 0, g_rows - hbe)
-        g_dma = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(s0, hbe), pl.ds(d_idx * dt, dt), :],
-            g_vmem.at[pl.ds(p, hbe)], sems.at[2])
+        @pl.when(step == 0)
+        def _first():
+            for cp in _issue(h_idx, d_idx, slot):
+                cp.start()
+
+        nstep = step + 1
+
+        @pl.when(nstep < pl.num_programs(0) * n_d)
+        def _prefetch():
+            for cp in _issue(nstep // n_d, lax.rem(nstep, n_d),
+                             lax.rem(nstep, 2)):
+                cp.start()
     else:
-        g_dma = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(r0, band_rows), pl.ds(d_idx * dt, dt), :],
-            g_vmem, sems.at[2])
-    g_dma.start()
-    if have_c:
-        # Center rows only, aligned start, no correction needed; rows
-        # past the volume's extent are clamped (their outputs are sliced
-        # away by the caller).
-        c_dma = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(jnp.clip(r0, 0, g_rows - hb), hb),
-                     pl.ds(d_idx * dt, dt), :],
-            c_vmem, sems.at[3])
-        c_dma.start()
+        for cp in _issue(h_idx, d_idx, slot):
+            cp.start()
 
     band = cam_vmem[:, :]
     mux_raw = sx_scr[:, :]               # raw Σx at center columns
@@ -162,14 +183,14 @@ def _bwd_kernel(*refs,
     syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
-    g_dma.wait()
-    if have_c:
-        c_dma.wait()
+    for cp in _issue(h_idx, d_idx, slot):
+        cp.wait()
 
     if direct_g:
         # Row correction shared by every plane of this tile (the slice
-        # itself stays per-plane — a whole-tile staging copy costs more
-        # VMEM than it saves).
+        # itself stays per-plane — hoisting the whole tile into one
+        # dynamic read measured slightly SLOWER and costs ~3 MB VMEM,
+        # forcing smaller row tiles).
         delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
         trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
         rmask = jnp.logical_and(trow + (r0 - p) >= 0,
@@ -196,7 +217,8 @@ def _bwd_kernel(*refs,
             n_c = sxy_c - mux_raw[p:p + hb, :] * muy_c + eps
 
         if direct_g:
-            raw = jnp.where(rmask, g_vmem[pl.ds(delta + p, hbe), j, :],
+            raw = jnp.where(rmask,
+                            g_vmem[slot, pl.ds(delta + p, hbe), j, :],
                             0.0)                            # [hbe, wo]
         else:
             # Pre-padded band coordinates: band row s ↔ image row
@@ -213,7 +235,8 @@ def _bwd_kernel(*refs,
         r_c = r[p:p + hb, :]
         if have_c:
             # n·r³·ey2 = c·r²·ey2 with c the saved forward plane.
-            b_scr[:, :] = b_scr[:, :] + ((raw[p:p + hb, :] * c_vmem[:, j, :])
+            b_scr[:, :] = b_scr[:, :] + ((raw[p:p + hb, :]
+                                          * c_vmem[slot, :, j, :])
                                          * ((r_c * r_c)
                                             * ey2c[p:p + hb, :]))
         else:
@@ -297,7 +320,8 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
             f"cost residual shape {cost.shape} != cotangent {g_src.shape}")
 
     if direct_g:
-        g_scratch = pltpu.VMEM((hbe + 2 * p, dt, wo), camera.dtype)
+        # Two slots: double-buffered per-step prefetch (see _bwd_kernel).
+        g_scratch = pltpu.VMEM((2, hbe + 2 * p, dt, wo), camera.dtype)
     else:
         g_scratch = pltpu.VMEM((band_rows, dt, wcc), camera.dtype)
 
@@ -320,11 +344,12 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
         pltpu.VMEM((hb, wo), camera.dtype),               # A1 acc
         pltpu.VMEM((hb, wo), camera.dtype),               # B acc
         pltpu.VMEM((hb, wo), camera.dtype),               # GRMU acc
-        pltpu.SemaphoreType.DMA((4 if have_c else 3,)),
+        pltpu.SemaphoreType.DMA((6 if have_c else (4 if direct_g else 3),)),
     ]
     inputs = (cam_p, proj_p, g_src)
     if have_c:
-        scratch.insert(3, pltpu.VMEM((hb, dt, wo), camera.dtype))  # c tile
+        scratch.insert(3, pltpu.VMEM((2, hb, dt, wo),
+                                     camera.dtype))       # c tile (2 slots)
         inputs = (cam_p, proj_p, g_src, cost)
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
@@ -789,7 +814,7 @@ def pallas_camera_grad_banded_hdw_with_cost(
     num_disparities: int,
     kernel_size: int = 15,
     epsilon: float = EPSILON,
-    block_rows: int = 64,
+    block_rows: int = 40,
     block_disparities: int = 8,
     interpret: bool = False,
 ) -> jax.Array:

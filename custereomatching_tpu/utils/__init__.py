@@ -10,6 +10,14 @@ from custereomatching_tpu.utils.metrics import (
     disparity_metrics,
     end_point_error,
 )
+from custereomatching_tpu.utils.kernel_model import (
+    fused_backward_cost,
+    fused_forward_cost,
+    kernel_bound,
+    measure_vpu_rates,
+    volume_backward_cost,
+    volume_forward_cost,
+)
 from custereomatching_tpu.utils.profiling import (
     device_specs,
     trace,
@@ -26,8 +34,14 @@ __all__ = [
     "device_specs",
     "disparity_metrics",
     "end_point_error",
+    "fused_backward_cost",
+    "fused_forward_cost",
     "is_transient_device_error",
+    "kernel_bound",
+    "measure_vpu_rates",
     "trace",
+    "volume_backward_cost",
+    "volume_forward_cost",
     "with_retries",
     "zncc_roofline",
 ]
