@@ -1,13 +1,26 @@
 """Block-size autotuning for the Pallas kernels.
 
-The shipped defaults (pipeline 32×40, volume 48×8, backward 64×8) are
+The shipped defaults (pipeline 32×40, volume 48×8, backward 40×8) are
 tuned for the KITTI production shape (375×1242, D=192, k=15) on a TPU
 v5e; other image sizes, disparity ranges or device generations can
 prefer different tiles (the trade-offs: halo-inflation of the row pass
-vs VMEM pressure vs padded-plane waste — see docs and the sweep scripts
-under ``scripts/``).  :func:`autotune_pipeline_blocks` measures a small
-candidate set on the live device with the slope method (fixed
-round-trips cancelled) and caches the winner per shape in-process.
+vs VMEM pressure vs padded-plane waste).
+
+Round-3 design:
+
+* **Candidates are derived, not hardcoded**: :func:`candidate_blocks`
+  enumerates the (block_rows, block_disparities) lattice from shape
+  arithmetic and filters it with a per-kernel VMEM estimate that mirrors
+  the kernels' actual scratch geometry (candidates that cannot compile
+  are never measured).
+* **Model-guided search**: when calibrated per-op rates are available
+  (utils/kernel_model.py, measured microbenchmarks), candidates are
+  pre-ranked by the structural cost model and only the top few are
+  measured on the device — compile count stays small while the lattice
+  stays wide.
+* **Persistent cache**: winners are stored per (device kind, kernel,
+  shape) in a JSON cache (``CUSTEREO_TUNE_CACHE`` env overrides the
+  path), so a serving process warm-starts across restarts.
 
 Opt-in by design: pass the result through
 ``dataclasses.replace(config, pipeline_blocks=...)`` — defaults stay
@@ -16,18 +29,149 @@ deterministic and compile-count stays bounded unless you ask.
 
 from __future__ import annotations
 
+import json
+import os
 import time
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 
-# Candidate tiles bracketing the trade-offs seen in the round-1/2 sweeps.
-PIPELINE_CANDIDATES: Tuple[Tuple[int, int], ...] = (
-    (32, 40), (24, 40), (48, 40), (32, 64), (16, 40))
-VOLUME_CANDIDATES: Tuple[Tuple[int, int], ...] = (
-    (48, 8), (64, 8), (32, 8), (48, 16), (24, 40))
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
 
 _CACHE: Dict[tuple, Tuple[int, int]] = {}
+
+_DEFAULT_CACHE_PATH = os.path.join(
+    os.path.expanduser("~"), ".cache", "custereomatching_tpu",
+    "autotune.json")
+
+
+def _cache_path() -> str:
+    return os.environ.get("CUSTEREO_TUNE_CACHE", _DEFAULT_CACHE_PATH)
+
+
+def _load_disk_cache() -> Dict[str, list]:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _store_disk_cache(key: str, value: Tuple[int, int]) -> None:
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cache = _load_disk_cache()
+        cache[key] = list(value)
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+def _disk_key(key: tuple) -> str:
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    return f"{kind}|" + "|".join(str(x) for x in key)
+
+
+# ---------------------------------------------------------------------------
+# Candidate generation from shape / VMEM arithmetic
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET = 13.5e6   # bytes; leaves headroom under the 16 MB scoped limit
+
+
+def _pipeline_vmem(H, W, D, k, hb, dt) -> float:
+    """VMEM estimate of the fused forward at (hb, dt), mirroring
+    _pipeline_forward_full's scratch + double-buffered output blocks."""
+    p = k // 2
+    hb = _round_up(hb, 8)
+    n_d = -(-(D + 1) // dt)
+    dt = _round_up(-(-(D + 1) // n_d), 8)
+    wo = _round_up(max(W, 128), 128)
+    wcc = _round_up(wo + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+    band_rows = _round_up(hb + 2 * p, 8)
+    scratch = (band_rows * (wcc + pw) + 2 * hb * wo + 2 * hb * syw
+               + 4 * hb * wo)
+    outs = 2 * 6 * hb * wo                       # double-buffered maps
+    # Unrolled-loop value stack: ~4 live temporaries per plane iteration.
+    stack = dt * 1.5 * band_rows * wcc
+    return 4.0 * (scratch + outs + stack)
+
+
+def _volume_vmem(H, W, D, k, hb, dt) -> float:
+    """VMEM estimate of the banded HDW volume kernel at (hb, dt)."""
+    p = k // 2
+    hb = _round_up(hb, 8)
+    n_d = -(-(D + 1) // dt)
+    dt = _round_up(-(-(D + 1) // n_d), 8)
+    wo = _round_up(max(W, 128), 128)
+    wcc = _round_up(wo + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+    band_rows = _round_up(hb + 2 * p, 8)
+    scratch = (band_rows * (wcc + pw) + 2 * hb * wo + 2 * hb * syw)
+    outs = 2 * hb * dt * wo                      # double-buffered volume
+    stack = dt * 1.2 * band_rows * wcc
+    return 4.0 * (scratch + outs + stack)
+
+
+def candidate_blocks(kind: str, height: int, width: int,
+                     num_disparities: int, kernel_size: int,
+                     budget: float = _VMEM_BUDGET,
+                     ) -> List[Tuple[int, int]]:
+    """Feasible (block_rows, block_disparities) candidates for ``kind``
+    (``"pipeline"`` or ``"volume"``), derived from shape arithmetic and
+    filtered by the kernel's VMEM estimate."""
+    est = _pipeline_vmem if kind == "pipeline" else _volume_vmem
+    D = num_disparities
+    hbs = [hb for hb in (16, 24, 32, 40, 48, 64, 80, 96)
+           if hb <= max(_round_up(height, 8), 16)]
+    dts = sorted({min(_round_up(D + 1, 8), dtv)
+                  for dtv in (8, 16, 24, 32, 40, 48, 64)})
+    out = []
+    for hb in hbs:
+        for dt in dts:
+            if est(height, width, D, kernel_size, hb, dt) <= budget:
+                out.append((hb, dt))
+    return out
+
+
+def _rank_candidates(kind: str, cands, height, width, D, k):
+    """Pre-rank by the calibrated cost model when rates exist (cache
+    only — never spends compile time here); unranked otherwise."""
+    try:
+        from custereomatching_tpu.utils.kernel_model import (
+            fused_forward_cost,
+            measure_vpu_rates,
+            volume_forward_cost,
+        )
+        from custereomatching_tpu.utils.profiling import device_specs
+
+        rates = measure_vpu_rates(measure_if_missing=False)
+        if rates is None:
+            return list(cands)
+        hbm = device_specs()["hbm_bw"]
+        cost_fn = (fused_forward_cost if kind == "pipeline"
+                   else volume_forward_cost)
+
+        def bound(c):
+            t = cost_fn(height, width, D, k, c[0], c[1]).time(rates, hbm)
+            return t["bound_s"]
+
+        return sorted(cands, key=bound)
+    except Exception:
+        return list(cands)
 
 
 def _readback(x) -> float:
@@ -54,11 +198,17 @@ def _slope_time(fn, args, n1: int = 4, n2: int = 12) -> float:
     return max(best, 1e-9)
 
 
-def _tune(key, candidates, build):
+def _tune(key, candidates, build, measure_top: int):
     if key in _CACHE:
         return _CACHE[key]
+    dk = _disk_key(key)
+    disk = _load_disk_cache()
+    if dk in disk:
+        best = tuple(disk[dk])
+        _CACHE[key] = best
+        return best
     best, best_t = None, float("inf")
-    for hb, dt in candidates:
+    for hb, dt in candidates[:measure_top]:
         try:
             fn, args = build(hb, dt)
             t = _slope_time(fn, args)
@@ -69,6 +219,7 @@ def _tune(key, candidates, build):
     if best is None:
         raise RuntimeError("no autotune candidate compiled")
     _CACHE[key] = best
+    _store_disk_cache(dk, best)
     return best
 
 
@@ -79,17 +230,23 @@ def autotune_pipeline_blocks(
     kernel_size: int = 15,
     candidates: Optional[Sequence[Tuple[int, int]]] = None,
     interpret: bool = False,
+    measure_top: int = 6,
 ) -> Tuple[int, int]:
     """Best ``(block_rows, block_disparities)`` for the fused pipeline at
-    this shape, measured on the live device.  Cached per shape."""
+    this shape: derived candidates, model-pre-ranked, top few measured on
+    the live device.  Cached in-process and on disk."""
     import jax.numpy as jnp
     import numpy as np
 
     from custereomatching_tpu.ops.pallas_pipeline import _pipeline_forward
 
-    cands = tuple(candidates) if candidates else PIPELINE_CANDIDATES
+    cands = (list(candidates) if candidates else
+             _rank_candidates("pipeline",
+                              candidate_blocks("pipeline", height, width,
+                                               num_disparities, kernel_size),
+                              height, width, num_disparities, kernel_size))
     key = ("pipeline", height, width, num_disparities, kernel_size,
-           interpret, cands)
+           interpret, tuple(cands[:measure_top]))
     rng = np.random.default_rng(0)
     cam = jnp.asarray(rng.random((height, width), dtype=np.float32))
     proj = jnp.asarray(rng.random((height, width), dtype=np.float32))
@@ -100,7 +257,7 @@ def autotune_pipeline_blocks(
             interpret).soft_disparity)
         return fn, (cam, proj)
 
-    return _tune(key, cands, build)
+    return _tune(key, cands, build, measure_top)
 
 
 def autotune_volume_blocks(
@@ -110,18 +267,23 @@ def autotune_volume_blocks(
     kernel_size: int = 15,
     candidates: Optional[Sequence[Tuple[int, int]]] = None,
     interpret: bool = False,
+    measure_top: int = 6,
 ) -> Tuple[int, int]:
     """Best ``(block_rows, block_disparities)`` for the HDW volume kernel
-    at this shape.  Cached per shape."""
+    at this shape.  Cached in-process and on disk."""
     import jax.numpy as jnp
     import numpy as np
 
     from custereomatching_tpu.ops.pallas_zncc import (
         pallas_cost_volume_banded_hdw)
 
-    cands = tuple(candidates) if candidates else VOLUME_CANDIDATES
+    cands = (list(candidates) if candidates else
+             _rank_candidates("volume",
+                              candidate_blocks("volume", height, width,
+                                               num_disparities, kernel_size),
+                              height, width, num_disparities, kernel_size))
     key = ("volume", height, width, num_disparities, kernel_size,
-           interpret, cands)
+           interpret, tuple(cands[:measure_top]))
     rng = np.random.default_rng(0)
     cam = jnp.asarray(rng.random((height, width), dtype=np.float32))
     proj = jnp.asarray(rng.random((height, width), dtype=np.float32))
@@ -132,4 +294,11 @@ def autotune_volume_blocks(
             True))
         return fn, (cam, proj)
 
-    return _tune(key, cands, build)
+    return _tune(key, cands, build, measure_top)
+
+
+# Back-compat names for the round-2 literal candidate sets.
+PIPELINE_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (32, 40), (24, 40), (48, 40), (32, 64), (16, 40))
+VOLUME_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (48, 8), (64, 8), (32, 8), (48, 16), (24, 40))

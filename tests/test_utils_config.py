@@ -1,5 +1,6 @@
 """Utilities, config validation, and driver entry-point tests."""
 
+import os
 import time
 
 import jax
@@ -178,3 +179,38 @@ def test_autotune_smoke():
     vb = tuning.autotune_volume_blocks(
         24, 40, 6, 5, candidates=[(8, 8), (16, 8)], interpret=True)
     assert vb in ((8, 8), (16, 8))
+
+
+def test_candidate_blocks_arithmetic():
+    """Candidates derive from shape/VMEM arithmetic: feasible, non-empty,
+    and responsive to the shape (wider images admit fewer tall tiles)."""
+    from custereomatching_tpu.ops import tuning
+
+    small = tuning.candidate_blocks("pipeline", 64, 128, 16, 9)
+    big = tuning.candidate_blocks("pipeline", 375, 1242, 192, 15)
+    assert small and big
+    assert all(hb % 8 == 0 for hb, _ in small + big)
+    # Narrow images admit taller tiles than KITTI-width ones.
+    assert max(hb for hb, _ in small) >= max(hb for hb, _ in big)
+    # Every candidate passes the kernel's own VMEM estimate.
+    for hb, dt in big:
+        assert tuning._pipeline_vmem(375, 1242, 192, 15, hb, dt) \
+            <= tuning._VMEM_BUDGET
+    vol = tuning.candidate_blocks("volume", 375, 1242, 192, 15)
+    assert (48, 8) in vol
+
+
+def test_autotune_disk_cache(tmp_path, monkeypatch):
+    from custereomatching_tpu.ops import tuning
+
+    monkeypatch.setenv("CUSTEREO_TUNE_CACHE", str(tmp_path / "tune.json"))
+    tuning._CACHE.clear()
+    blocks = tuning.autotune_pipeline_blocks(
+        24, 64, 8, 5, candidates=[(8, 8), (16, 8)], interpret=True)
+    assert os.path.exists(str(tmp_path / "tune.json"))
+    # New process simulation: clear the in-process cache; the disk cache
+    # must short-circuit the measurement.
+    tuning._CACHE.clear()
+    again = tuning.autotune_pipeline_blocks(
+        24, 64, 8, 5, candidates=[(8, 8), (16, 8)], interpret=True)
+    assert tuple(again) == tuple(blocks)
