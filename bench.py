@@ -172,6 +172,31 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
           f"(approximate model; compare headline EPE above)",
           file=sys.stderr)
 
+    # Pipeline-parallel stage op: one stage of an S-stage disparity-range
+    # pipeline runs the fused kernel over (D+1)/S planes (parallel/
+    # pipeline.py routes through the Pallas kernel on this backend); its
+    # latency vs the full-range pipeline is the basis of the S× steady-
+    # state throughput claim.
+    try:
+        from custereomatching_tpu.parallel.pipeline import chunk_state
+
+        S = 4
+        chunk = (D + 1) // S
+        cam_pp, proj_pp = cam, proj
+
+        def stage_op(c, p):
+            return chunk_state(c, p, 0, chunk, model.config).s
+
+        stage_op = jax.jit(stage_op)
+        t_stage = _time(stage_op, cam_pp, proj_pp, n1=8, n2=32)
+        print(f"[bench] pipeline-parallel stage op (S={S}, {chunk} planes, "
+              f"fused kernel): {t_stage*1e3:.2f} ms vs full-range pipeline "
+              f"{1e3/fps:.2f} ms -> steady-state pipeline speedup "
+              f"~{(1.0/fps)/t_stage:.2f}x at {S} stages",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] PP stage report skipped: {e}", file=sys.stderr)
+
     # Serving-engine bucket latency: KITTI 375x1242 pads to the 384x1280
     # bucket; measures the padded-bucket device time (the pad overhead the
     # engine pays for warm shapes).  Host↔device copies are excluded —
@@ -358,7 +383,7 @@ def main() -> None:
             b_tfwd = kernel_bound(
                 fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
                 rates)["bound_s"]
-            b_tbwd = kernel_bound(fused_backward_c_cost(H, W, D, K, 48, 8),
+            b_tbwd = kernel_bound(fused_backward_c_cost(H, W, D, K, 40, 8),
                                   rates)["bound_s"]
             b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
                                   rates)["bound_s"]

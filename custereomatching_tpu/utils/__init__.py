@@ -11,6 +11,7 @@ from custereomatching_tpu.utils.metrics import (
     end_point_error,
 )
 from custereomatching_tpu.utils.kernel_model import (
+    fused_backward_c_cost,
     fused_backward_cost,
     fused_forward_cost,
     kernel_bound,
@@ -34,6 +35,7 @@ __all__ = [
     "device_specs",
     "disparity_metrics",
     "end_point_error",
+    "fused_backward_c_cost",
     "fused_backward_cost",
     "fused_forward_cost",
     "is_transient_device_error",
