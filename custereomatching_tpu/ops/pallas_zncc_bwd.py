@@ -148,7 +148,7 @@ def _bwd_kernel(*refs,
         else:
             copies.append(pltpu.make_async_copy(
                 g_hbm.at[pl.ds(r0i, band_rows), pl.ds(di * dt, dt), :],
-                g_vmem, sems.at[2]))
+                g_vmem.at[sl], sems.at[2 + sl]))
         if have_c:
             copies.append(pltpu.make_async_copy(
                 c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
@@ -156,21 +156,17 @@ def _bwd_kernel(*refs,
                 c_vmem.at[sl], sems.at[4 + sl]))
         return copies
 
-    if direct_g:
-        @pl.when(step == 0)
-        def _first():
-            for cp in _issue(h_idx, d_idx, slot):
-                cp.start()
-
-        nstep = step + 1
-
-        @pl.when(nstep < pl.num_programs(0) * n_d)
-        def _prefetch():
-            for cp in _issue(nstep // n_d, lax.rem(nstep, n_d),
-                             lax.rem(nstep, 2)):
-                cp.start()
-    else:
+    @pl.when(step == 0)
+    def _first():
         for cp in _issue(h_idx, d_idx, slot):
+            cp.start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < pl.num_programs(0) * n_d)
+    def _prefetch():
+        for cp in _issue(nstep // n_d, lax.rem(nstep, n_d),
+                         lax.rem(nstep, 2)):
             cp.start()
 
     band = cam_vmem[:, :]
@@ -223,7 +219,7 @@ def _bwd_kernel(*refs,
         else:
             # Pre-padded band coordinates: band row s ↔ image row
             # r0 + s − 2p ⇒ image col w sits at band col w + 2p.
-            raw = g_vmem[p:p + hbe, j, 2 * p:2 * p + wo]
+            raw = g_vmem[slot, p:p + hbe, j, 2 * p:2 * p + wo]
         gr_scr[:, p:p + wo] = raw * r
         gr = gr_scr[:, :]                                   # [hbe, woe]
 
@@ -319,11 +315,11 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
         raise ValueError(
             f"cost residual shape {cost.shape} != cotangent {g_src.shape}")
 
+    # Two slots: double-buffered per-step prefetch (see _bwd_kernel).
     if direct_g:
-        # Two slots: double-buffered per-step prefetch (see _bwd_kernel).
         g_scratch = pltpu.VMEM((2, hbe + 2 * p, dt, wo), camera.dtype)
     else:
-        g_scratch = pltpu.VMEM((band_rows, dt, wcc), camera.dtype)
+        g_scratch = pltpu.VMEM((2, band_rows, dt, wcc), camera.dtype)
 
     kernel = functools.partial(
         _bwd_kernel, D=D, k=k, eps=float(eps), hb=hb, dt=dt,
@@ -344,7 +340,7 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
         pltpu.VMEM((hb, wo), camera.dtype),               # A1 acc
         pltpu.VMEM((hb, wo), camera.dtype),               # B acc
         pltpu.VMEM((hb, wo), camera.dtype),               # GRMU acc
-        pltpu.SemaphoreType.DMA((6 if have_c else (4 if direct_g else 3),)),
+        pltpu.SemaphoreType.DMA((6 if have_c else 4,)),
     ]
     inputs = (cam_p, proj_p, g_src)
     if have_c:
@@ -575,29 +571,49 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
         a1p_scr[:, :] = jnp.zeros((hb, wo), a1p_scr.dtype)
         z2_scr[:, :] = jnp.zeros((hb, won), z2_scr.dtype)
         z3_scr[:, :] = jnp.zeros((hb, won), z3_scr.dtype)
-        # Zero the staging buffers once per row tile: the column margins
-        # ([0, p) and [p+wo, gw)) never receive DMA bytes but are
-        # consumed by the +d-shifted slices (the beyond-the-volume
-        # reach, zero by the cotangent contract).  Whole-buffer stores
-        # keep every write lane-aligned.
-        g_vmem[:, :, :] = jnp.zeros(g_vmem.shape, g_vmem.dtype)
-        c_vmem[:, :, :] = jnp.zeros(c_vmem.shape, c_vmem.dtype)
 
     r0 = h_idx * hb
-    s_want = r0 - p
-    s0 = jnp.clip(s_want, 0, g_rows - hbe)
+    step = h_idx * pl.num_programs(1) + d_idx
+    slot = lax.rem(step, 2)
+
     # Lane offset 0: DMA lane offsets must be 128-aligned, so the −p of
     # the e-coordinate is folded into the rolls below instead (the
-    # wrapped-in columns land in the staging buffers' zero right margin).
-    g_dma = pltpu.make_async_copy(
-        g_hbm.at[pl.ds(s0, hbe), pl.ds(d_idx * dt, dt), :],
-        g_vmem.at[pl.ds(p, hbe), slice(None), pl.ds(0, wo)], sems.at[2])
-    g_dma.start()
-    c_dma = pltpu.make_async_copy(
-        c_hbm.at[pl.ds(jnp.clip(r0, 0, g_rows - hb), hb),
-                 pl.ds(d_idx * dt, dt), :],
-        c_vmem.at[slice(None), slice(None), pl.ds(0, wo)], sems.at[3])
-    c_dma.start()
+    # wrapped-in columns land in the staging buffers' zero margins).
+    # Two slots each: double-buffered per-step prefetch.
+    def _issue(hi, di, sl):
+        r0i = hi * hb
+        s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+        g_dma = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
+            g_vmem.at[sl, pl.ds(p, hbe), slice(None), pl.ds(0, wo)],
+            sems.at[2 + sl])
+        c_dma = pltpu.make_async_copy(
+            c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
+                     pl.ds(di * dt, dt), :],
+            c_vmem.at[sl, slice(None), slice(None), pl.ds(0, wo)],
+            sems.at[4 + sl])
+        return g_dma, c_dma
+
+    @pl.when(step == 0)
+    def _zero_and_first():
+        # Zero the staging buffers ONCE: the margins ([0, p) rows of the
+        # g buffer, columns [wo, gw)) never receive DMA bytes but are
+        # consumed by the +d-shifted slices (the beyond-the-volume
+        # reach, zero by the cotangent contract).  This must NOT happen
+        # per row tile — it would wipe a prefetched tile.
+        g_vmem[:, :, :, :] = jnp.zeros(g_vmem.shape, g_vmem.dtype)
+        c_vmem[:, :, :, :] = jnp.zeros(c_vmem.shape, c_vmem.dtype)
+        for cp in _issue(h_idx, d_idx, slot):
+            cp.start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < pl.num_programs(0) * pl.num_programs(1))
+    def _prefetch():
+        for cp in _issue(nstep // pl.num_programs(1),
+                         lax.rem(nstep, pl.num_programs(1)),
+                         lax.rem(nstep, 2)):
+            cp.start()
 
     d_base = d_idx * dt
     # Left-roll by d_base: rolled[u] = buf[u + d_base]; static slice
@@ -608,10 +624,10 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
     ex2_roll = pltpu.roll(ex2_scr[:, :], sxw - d_base, axis=1)
     ey2p = ey2_scr[:, :]                               # unshifted [hbe, won]
 
-    g_dma.wait()
-    c_dma.wait()
+    for cp in _issue(h_idx, d_idx, slot):
+        cp.wait()
 
-    delta = (r0 - p) - s0
+    delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
     trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
     rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                             trow + (r0 - p) < g_rows)
@@ -627,7 +643,7 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
         gc_shift = jnp.mod(jnp.int32(p) - d_base, gw)
         graw = jnp.where(
             rmask,
-            pltpu.roll(g_vmem[pl.ds(delta + p, hbe), j, :],
+            pltpu.roll(g_vmem[slot, pl.ds(delta + p, hbe), j, :],
                        gc_shift, axis=1)[:, j:j + won],
             0.0)                                       # [hbe, won] g̃
         gr = graw * r
@@ -637,7 +653,7 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
         c_sl = (slice(p, p + hb), slice(None))
         z2_scr[:, :] = z2_scr[:, :] + gr[c_sl] * mux_roll[p:p + hb,
                                                           j:j + won]
-        c_sh = pltpu.roll(c_vmem[:, j, :], gc_shift,
+        c_sh = pltpu.roll(c_vmem[slot, :, j, :], gc_shift,
                           axis=1)[:, j:j + won]        # [hb, won] c̃
         r_c = r[c_sl]
         z3_scr[:, :] = z3_scr[:, :] + (graw[c_sl] * c_sh
@@ -768,15 +784,16 @@ def pallas_projector_grad_banded_hdw_with_cost(
         scratch_shapes=[
             pltpu.VMEM((band_rows, cw), camera.dtype),        # camera band
             pltpu.VMEM((band_rows, wcc), camera.dtype),       # projector
-            pltpu.VMEM((hbe + 2 * p, dt, gw), camera.dtype),  # g staging
-            pltpu.VMEM((hb, dt, gw), camera.dtype),           # c staging
+            pltpu.VMEM((2, hbe + 2 * p, dt, gw),
+                       camera.dtype),                 # g staging (2 slots)
+            pltpu.VMEM((2, hb, dt, gw), camera.dtype),        # c (2 slots)
             pltpu.VMEM((hbe, sxw), camera.dtype),             # μx
             pltpu.VMEM((hbe, sxw), camera.dtype),             # ex2
             pltpu.VMEM((hbe, won), camera.dtype),             # ey2 (proj)
             pltpu.VMEM((hb, wo), camera.dtype),               # A1p acc
             pltpu.VMEM((hb, won), camera.dtype),              # z2 acc
             pltpu.VMEM((hb, won), camera.dtype),              # z3 acc
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * k * H * W * (D + 1),
