@@ -1,0 +1,88 @@
+"""Calibrated op-level cost model (utils/kernel_model.py).
+
+The structural counting must track kernel geometry (these are the bounds
+bench.py reports achievement against); the measurement path itself needs
+a real device and is exercised by bench/scripts, not CI.
+"""
+
+import numpy as np
+import pytest
+
+from custereomatching_tpu.utils.kernel_model import (
+    OpCount,
+    _box_ops,
+    _win_sum_ops,
+    fused_backward_c_cost,
+    fused_backward_cost,
+    fused_forward_cost,
+    volume_backward_cost,
+    volume_forward_cost,
+)
+
+RATES = {"madd": 0.4e-12, "lshift": 2.0e-12, "sshift": 0.4e-12,
+         "exp": 0.6e-12, "rsqrt": 2.0e-12, "boxadd": 0.67e-12}
+H, W, D, K = 375, 1242, 192, 15
+
+
+def test_win_sum_count_matches_tree_structure():
+    # k=15 subtractive form (needs in_len >= out+16-1 = 47):
+    # 3 doubling adds + 1 combine + 1 tap removal.
+    c = _win_sum_ops(15, 48, 32, 1408, axis=0)
+    total = sum(c.values())
+    # Hand count: (47 + 45 + 41 + 32 + 32) rows x 1408 cols.
+    assert total == (47 + 45 + 41 + 32 + 32) * 1408
+    # One row short of the subtractive requirement -> binary combine
+    # (the same fallback the kernel takes), which costs more.
+    c2 = _win_sum_ops(15, 46, 32, 1408, axis=0)
+    assert sum(c2.values()) > total
+
+
+def test_box_ops_uses_boxadd_class():
+    c = _box_ops(15, 46, 32, 1408, 1280)
+    assert c["boxadd"] > 0
+    assert all(c[m] == 0 for m in c if m != "boxadd")
+
+
+def test_costs_scale_with_shape_and_tiles():
+    base = fused_forward_cost(H, W, D, K, 32, 40)
+    double_d = fused_forward_cost(H, W, 2 * D, K, 32, 40)
+    t0 = base.time(RATES, 8.19e11)["t_compute_s"]
+    t1 = double_d.time(RATES, 8.19e11)["t_compute_s"]
+    assert 1.7 < t1 / t0 < 2.3          # compute ~linear in D
+    # Taller tiles reduce halo-inflated work for the backward.
+    slim = fused_backward_cost(H, W, D, K, 16, 8)
+    tall = fused_backward_cost(H, W, D, K, 64, 8)
+    assert tall.time(RATES, 8.19e11)["t_compute_s"] \
+        < slim.time(RATES, 8.19e11)["t_compute_s"]
+
+
+def test_variant_ordering():
+    """Structural sanity: the cost-residual backwards are cheaper than
+    the recompute-from-images backward; writing the volume costs more
+    than not writing it."""
+    hbm = 8.19e11
+    t = {
+        "fwd": fused_forward_cost(H, W, D, K, 32, 40),
+        "fwd_v": fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
+        "bwd": fused_backward_cost(H, W, D, K, 48, 8),
+        "bwd_c": fused_backward_c_cost(H, W, D, K, 40, 8),
+        "vol_fwd": volume_forward_cost(H, W, D, K, 48, 8),
+        "vol_bwd_c": volume_backward_cost(H, W, D, K, 40, 8, True),
+        "vol_bwd": volume_backward_cost(H, W, D, K, 48, 8, False),
+    }
+    b = {k: v.time(RATES, hbm)["bound_s"] for k, v in t.items()}
+    assert b["bwd_c"] < b["bwd"]
+    assert b["vol_bwd_c"] < b["vol_bwd"]
+    assert b["fwd_v"] > b["vol_fwd"] * 0.9      # fwd_v ⊇ volume work
+    assert t["fwd_v"].bytes > t["fwd"].bytes    # volume write priced
+    # All bounds are physical (sub-10ms at this scale, positive).
+    assert all(0 < x < 0.01 for x in b.values())
+
+
+def test_opcount_algebra():
+    a = OpCount(madd=10)
+    a.bytes = 100.0
+    bb = OpCount(lshift=5)
+    bb.bytes = 50.0
+    c = (a + bb).scaled(2)
+    assert c["madd"] == 20 and c["lshift"] == 10 and c.bytes == 300.0
