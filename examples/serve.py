@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     ap.add_argument("--kernel-size", type=int, default=15)
     ap.add_argument("--retries", type=int, default=2)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--autotune", action="store_true",
+                    help="tune kernel tiles per bucket on first use "
+                         "(winners persist across restarts)")
     args = ap.parse_args(argv)
 
     frames = args.camera_pngs or [
@@ -55,7 +58,7 @@ def main(argv=None) -> int:
         StereoConfig(kernel_size=args.kernel_size,
                      num_disparities=args.num_disparities,
                      backend=args.backend),
-        buckets=[bucket], retries=args.retries)
+        buckets=[bucket], retries=args.retries, autotune=args.autotune)
 
     if not engine.healthy():
         print("SERVE: device health probe FAILED", file=sys.stderr)

@@ -214,3 +214,31 @@ def test_autotune_disk_cache(tmp_path, monkeypatch):
     again = tuning.autotune_pipeline_blocks(
         24, 64, 8, 5, candidates=[(8, 8), (16, 8)], interpret=True)
     assert tuple(again) == tuple(blocks)
+
+
+def test_engine_autotune_per_bucket(monkeypatch):
+    """autotune=True gives each bucket its own tuned kernel tiles; the
+    tuned pipeline's outputs equal the default blocks' outputs."""
+    from custereomatching_tpu.models.engine import StereoEngine
+    from custereomatching_tpu.ops import tuning
+
+    calls = []
+
+    def fake_tune(h, w, D, k, **kw):
+        calls.append((h, w))
+        return (8, 8)
+
+    monkeypatch.setattr(tuning, "autotune_pipeline_blocks", fake_tune)
+    cfg = StereoConfig(kernel_size=5, num_disparities=8,
+                       backend="pallas_interpret")
+    eng = StereoEngine(cfg, buckets=[(16, 64), (32, 128)], autotune=True)
+    eng0 = StereoEngine(cfg, buckets=[(16, 64), (32, 128)])
+    rng = np.random.default_rng(0)
+    cam = rng.random((14, 60)).astype(np.float32)
+    proj = rng.random((14, 60)).astype(np.float32)
+    out = eng.infer(cam, proj)
+    out0 = eng0.infer(cam, proj)
+    assert calls == [(16, 64)]          # tuned lazily, per touched bucket
+    np.testing.assert_array_equal(out.disparity, out0.disparity)
+    np.testing.assert_allclose(out.soft_disparity, out0.soft_disparity,
+                               rtol=1e-4, atol=1e-5)
