@@ -80,7 +80,10 @@ def _local_cost_volume(camera, projector, config: StereoConfig):
     Runs inside ``shard_map``; ``camera``/``projector`` are the local
     ``[B_local, H_local, W]`` blocks.
     """
-    halo = config.pad
+    # Single row-shard: the halo would be all zeros — exactly the zero
+    # padding the op applies internally — so skip the extend+crop round
+    # trip entirely (it costs ~(2·pad/H) extra rows of kernel work).
+    halo = config.pad if lax.axis_size("space") > 1 else 0
     cam_e = halo_exchange(camera, halo, "space", axis=1)
     proj_e = halo_exchange(projector, halo, "space", axis=1)
 
@@ -135,7 +138,8 @@ def _local_disparity_maps(camera, projector, config: StereoConfig,
                           trainable: bool):
     """Per-shard fused pipeline: halo-extend rows, run the fused kernel on
     the extended block, crop the halo rows of the output maps."""
-    halo = config.pad
+    # See _local_cost_volume: one row-shard needs no halo round trip.
+    halo = config.pad if lax.axis_size("space") > 1 else 0
     cam_e = halo_exchange(camera, halo, "space", axis=1)
     proj_e = halo_exchange(projector, halo, "space", axis=1)
     backend = config.resolved_backend()
