@@ -309,9 +309,21 @@ def _pipeline_forward_full(
     out_specs = (map_spec,) * 6
     out_shape = (map_shape,) * 6
     if write_volume:
+        # Declare the volume's plane dim rounded up to a multiple of 16
+        # when the extra (never-written) tail still fits inside the
+        # backward's skipped last disparity tile: a 16-divisible plane
+        # count lets the cost-residual backward run dt=16 — half the DMA
+        # issues and per-tile rolls of dt=8.  Only blocks 0..n_d-1 are
+        # ever written; the tail planes stay uninitialized in HBM and
+        # the backward's unwritten-region guard keeps them out of any
+        # live tile.
+        vol_planes = n_d * dt
+        decl = _round_up(vol_planes, 16)
+        if decl > vol_planes and decl - (D + 1) < 16:
+            vol_planes = decl
         out_specs = (pl.BlockSpec((hb, dt, wo), lambda h, d: (h, d, 0),
                                   memory_space=pltpu.VMEM),) + out_specs
-        out_shape = (jax.ShapeDtypeStruct((h_pad, n_d * dt, wo),
+        out_shape = (jax.ShapeDtypeStruct((h_pad, vol_planes, wo),
                                           camera.dtype),) + out_shape
     outs = pl.pallas_call(
         kernel,

@@ -41,6 +41,13 @@ _CACHE_PATH = os.path.join(
     "..", "vpu_rates.json")
 
 _OP_MODES = ("madd", "lshift", "sshift", "exp", "rsqrt", "boxadd")
+# Measured DMA rates (seconds per byte) for the kernels' two bulk HBM
+# access patterns: 3D tile reads ([rows, dt, W] slices of a volume, the
+# backward's cotangent/cost stream) and 3D tile writes (the forward's
+# volume output through the out_specs pipeline).  Like the compute
+# classes these are measured by microbenchmarks that reproduce the
+# access pattern, never calibrated against the production kernels.
+_DMA_MODES = ("hbm_r3d", "hbm_w3d")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -162,6 +169,124 @@ def _run_rate(mode: str, *, rows: int = 32, cols: int = 1280,
     return max(per_call, 1e-12) / elems
 
 
+def _dma_read_kernel(src_hbm, out_ref, buf, acc, sems,
+                     *, rows: int, dt: int, wo: int, src_rows: int):
+    """Double-buffered [rows, dt, wo] tile reads from a [R, P, wo] HBM
+    volume — the backward kernels' cotangent/cost stream, including its
+    prefetch discipline (issue step s+1's copy before consuming step
+    s's)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    step = h_idx * n_d + d_idx
+    slot = lax.rem(step, 2)
+
+    def _issue(s, sl):
+        hi = s // n_d
+        di = lax.rem(s, n_d)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(jnp.clip(hi * rows, 0, src_rows - rows), rows),
+                       pl.ds(di * dt, dt), :],
+            buf.at[sl], sems.at[sl])
+
+    @pl.when(step == 0)
+    def _first():
+        acc[:, :] = jnp.zeros((8, wo), acc.dtype)
+        _issue(step, slot).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * n_d)
+    def _prefetch():
+        _issue(step + 1, lax.rem(step + 1, 2)).start()
+
+    _issue(step, slot).wait()
+    # Touch one sublane so the transfers are observably consumed.
+    acc[0:1, :] = acc[0:1, :] + buf[slot, 0:1, 0, :]
+
+    @pl.when(step + 1 == pl.num_programs(0) * n_d)
+    def _done():
+        out_ref[:, :] = acc[:, :]
+
+
+def _dma_write_kernel(out_ref, *, hb: int, dt: int, wo: int):
+    """[hb, dt, wo] volume-tile writes through the out_specs pipeline —
+    the forward kernels' output stream."""
+    from jax.experimental import pallas as pl
+
+    v = (pl.program_id(0) * pl.num_programs(1)
+         + pl.program_id(1)).astype(jnp.float32)
+    out_ref[:, :, :] = jnp.full((hb, dt, wo), v, jnp.float32)
+
+
+def _run_dma_rate(mode: str, *, interpret: bool = False) -> float:
+    """Measured seconds-per-byte of one bulk HBM access pattern (KITTI-
+    scale tile geometry: the rate is what a production-sized stream
+    sustains, fixed DMA issue overheads amortized exactly as the kernels
+    amortize them)."""
+    import time
+
+    from jax.experimental import pallas as pl  # noqa: F811
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+
+    wo, dt = 1280, 8
+    n_h, n_d = 8, 25
+    if mode == "hbm_r3d":
+        rows, src_rows = 56, 8 * 48 + 56
+        src = jnp.ones((src_rows, n_d * dt, wo), jnp.float32)
+        kernel = functools.partial(_dma_read_kernel, rows=rows, dt=dt,
+                                   wo=wo, src_rows=src_rows)
+        fn = jax.jit(lambda s: pl.pallas_call(
+            kernel,
+            grid=(n_h, n_d),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((8, wo), lambda h, d: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, wo), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, dt, wo), jnp.float32),
+                pltpu.VMEM((8, wo), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(s))
+        args = (src,)
+        total_bytes = n_h * n_d * rows * dt * wo * 4
+    elif mode == "hbm_w3d":
+        hb = 48
+        kernel = functools.partial(_dma_write_kernel, hb=hb, dt=dt, wo=wo)
+        fn = jax.jit(lambda: pl.pallas_call(
+            kernel,
+            grid=(n_h, n_d),
+            out_specs=pl.BlockSpec((hb, dt, wo), lambda h, d: (h, d, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_h * hb, n_d * dt, wo),
+                                           jnp.float32),
+            interpret=interpret,
+        )())
+        args = ()
+        total_bytes = n_h * hb * n_d * dt * wo * 4
+    else:
+        raise ValueError(mode)
+
+    def _fence(x):
+        return float(jnp.asarray(x).reshape(-1)[0])
+
+    def chain(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        _fence(out)
+        return time.perf_counter() - t0
+
+    _fence(fn(*args))
+    chain(4)
+    slopes = sorted((chain(8) - chain(2)) / 6 for _ in range(7))
+    return max(slopes[len(slopes) // 2], 1e-15) / total_bytes
+
+
 def _box_tree_elems(k: int, in_rows: int, out_rows: int, in_cols: int,
                     out_cols: int) -> float:
     """Counted tree-add elements of one _box_from_band call."""
@@ -191,14 +316,37 @@ def measure_vpu_rates(force: bool = False,
                 cache = json.load(f)
         except Exception:
             cache = {}
-    if not force and kind in cache:
-        return dict(cache[kind])
+    have = cache.get(kind, {})
+    missing_dma = [m for m in _DMA_MODES if m not in have]
+    if not force and kind in cache and not missing_dma:
+        return dict(have)
     if not measure_if_missing and not force:
-        return None
+        # A compute-only cache (written before the DMA classes existed)
+        # is still usable: kernel_bound falls back to the datasheet
+        # bandwidth for the memory leg.
+        return dict(have) if kind in cache else None
+    if not force and kind in cache:
+        # Top up a pre-DMA-era cache without redoing the compute classes.
+        rates = dict(have)
+        dma_rounds = [{m: _run_dma_rate(m) for m in missing_dma}
+                      for _ in range(3)]
+        rates.update({m: sorted(r[m] for r in dma_rounds)[1]
+                      for m in missing_dma})
+        cache[kind] = rates
+        try:
+            with open(path, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        return dict(rates)
     # Three measurement rounds, per-class median: the cheap classes are
     # allocator-state sensitive at the ±30% level run to run.
     rounds = [{m: _run_rate(m) for m in _OP_MODES} for _ in range(3)]
     rates = {m: sorted(r[m] for r in rounds)[1] for m in _OP_MODES}
+    dma_rounds = [{m: _run_dma_rate(m) for m in _DMA_MODES}
+                  for _ in range(3)]
+    rates.update({m: sorted(r[m] for r in dma_rounds)[1]
+                  for m in _DMA_MODES})
     cache[kind] = rates
     try:
         with open(path, "w") as f:
@@ -219,12 +367,19 @@ class OpCount(dict):
         super().__init__({m: 0.0 for m in _OP_MODES})
         self.update({k: float(v) for k, v in kw.items()})
         self.bytes = 0.0
+        # Optional read/write split of ``bytes``; when populated (and the
+        # rate cache carries measured DMA rates) the memory leg is priced
+        # with the measured per-pattern rates instead of datasheet BW.
+        self.bytes_r = 0.0
+        self.bytes_w = 0.0
 
     def __add__(self, other):
         out = OpCount()
         for m in _OP_MODES:
             out[m] = self[m] + other[m]
         out.bytes = self.bytes + getattr(other, "bytes", 0.0)
+        out.bytes_r = self.bytes_r + getattr(other, "bytes_r", 0.0)
+        out.bytes_w = self.bytes_w + getattr(other, "bytes_w", 0.0)
         return out
 
     def scaled(self, f):
@@ -232,11 +387,18 @@ class OpCount(dict):
         for m in _OP_MODES:
             out[m] = self[m] * f
         out.bytes = self.bytes * f
+        out.bytes_r = self.bytes_r * f
+        out.bytes_w = self.bytes_w * f
         return out
 
     def time(self, rates: Dict[str, float], hbm_bw: float) -> Dict[str, float]:
         t_c = sum(self[m] * rates[m] for m in _OP_MODES)
-        t_m = self.bytes / hbm_bw
+        if (self.bytes_r + self.bytes_w > 0
+                and all(m in rates for m in _DMA_MODES)):
+            t_m = (self.bytes_r * rates["hbm_r3d"]
+                   + self.bytes_w * rates["hbm_w3d"])
+        else:
+            t_m = self.bytes / hbm_bw
         return {"t_compute_s": t_c, "t_memory_s": t_m,
                 "bound_s": max(t_c, t_m),
                 "bound_by": "compute" if t_c >= t_m else "memory"}
@@ -343,10 +505,11 @@ def fused_forward_cost(H: int, W: int, D: int, k: int,
     tile = tile + OpCount(madd=4 * hb * wo)                   # epilogue maps
 
     total = tile.scaled(n_h)
-    total.bytes = (n_h * band_rows * (wcc + pw) * 4      # band DMA (halo'd)
-                   + 6 * n_h * hb * wo * 4)              # six output maps
+    total.bytes_r = n_h * band_rows * (wcc + pw) * 4     # band DMA (halo'd)
+    total.bytes_w = 6 * n_h * hb * wo * 4                # six output maps
     if write_volume:
-        total.bytes += n_h * hb * n_d * dt * wo * 4      # volume write
+        total.bytes_w += n_h * hb * n_d * dt * wo * 4    # volume write
+    total.bytes = total.bytes_r + total.bytes_w
     return total
 
 
@@ -359,8 +522,14 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
     p = k // 2
     hb = _round_up(hb, 8)
     hbe = hb + 2 * p
+    # Mirrors the training forward's plane declaration: rounded up to a
+    # multiple of 16 when the unwritten tail fits the skipped last tile,
+    # which lets this backward run dt=16 instead of dt=8.
     n_planes = _round_up(D + 1, 8)
-    dt = 8 if n_planes % 16 else 16
+    decl = _round_up(n_planes, 16)
+    if decl - (D + 1) < 16:
+        n_planes = decl
+    dt = 16 if n_planes % 16 == 0 else 8
     n_d = n_planes // dt
     wo = _round_up(max(W, 128), 128)
     woe = wo + 2 * p
@@ -389,10 +558,11 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
     tile = tile + _roll_ops(band_rows, pw, hbe, syw).scaled(n_d)
 
     total = tile.scaled(n_h)
-    total.bytes = (n_h * band_rows * (wcc + pw) * 4
-                   + n_h * hbe * 8 * wo * 4                  # maps stack
-                   + n_h * hbe * n_planes * wo * 4           # cost read
-                   + 3 * n_h * hb * wo * 4)
+    total.bytes_r = (n_h * band_rows * (wcc + pw) * 4
+                     + n_h * hbe * 8 * wo * 4                # maps stack
+                     + n_h * hbe * n_planes * wo * 4)        # cost read
+    total.bytes_w = 3 * n_h * hb * wo * 4
+    total.bytes = total.bytes_r + total.bytes_w
     return total
 
 
@@ -435,9 +605,10 @@ def fused_backward_cost(H: int, W: int, D: int, k: int,
     tile = tile + _roll_ops(band_rows, pw, hbe, syw).scaled(n_d)
 
     total = tile.scaled(n_h)
-    total.bytes = (n_h * band_rows * (wcc + pw) * 4
-                   + n_h * hbe * 8 * wo * 4                  # maps stack DMA
-                   + 3 * n_h * hb * wo * 4)                  # A1/B/GRMU out
+    total.bytes_r = (n_h * band_rows * (wcc + pw) * 4
+                     + n_h * hbe * 8 * wo * 4)               # maps stack DMA
+    total.bytes_w = 3 * n_h * hb * wo * 4                    # A1/B/GRMU out
+    total.bytes = total.bytes_r + total.bytes_w
     return total
 
 
@@ -469,8 +640,9 @@ def volume_forward_cost(H: int, W: int, D: int, k: int,
     tile = tile + _roll_ops(band_rows, pw, hb, syw).scaled(n_d)
 
     total = tile.scaled(n_h)
-    total.bytes = (n_h * band_rows * (wcc + pw) * 4
-                   + n_h * hb * n_d * dt * wo * 4)           # volume write
+    total.bytes_r = n_h * band_rows * (wcc + pw) * 4
+    total.bytes_w = n_h * hb * n_d * dt * wo * 4             # volume write
+    total.bytes = total.bytes_r + total.bytes_w
     return total
 
 
@@ -517,8 +689,9 @@ def volume_backward_cost(H: int, W: int, D: int, k: int,
     total = tile.scaled(n_h)
     g_bytes = n_h * hbe * n_planes * wo * 4                   # cotangent DMA
     c_bytes = n_h * hb * n_planes * wo * 4 if with_cost else 0
-    total.bytes = (n_h * band_rows * (wcc + pw) * 4 + g_bytes + c_bytes
-                   + 3 * n_h * hb * wo * 4)
+    total.bytes_r = n_h * band_rows * (wcc + pw) * 4 + g_bytes + c_bytes
+    total.bytes_w = 3 * n_h * hb * wo * 4
+    total.bytes = total.bytes_r + total.bytes_w
     return total
 
 

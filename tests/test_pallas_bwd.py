@@ -114,6 +114,38 @@ def test_fused_trainable_pipeline_grad():
                                rtol=1e-3, atol=1e-6)
 
 
+def test_trainable_pipeline_padded_plane_grad():
+    """save_volume=True declares the residual volume's plane dim rounded
+    up to a multiple of 16 when the tail fits the backward's skipped
+    last tile (D=23: 24 planes declared as 32, backward dt=16).  The
+    unwritten tail planes must never contaminate the gradient: compare
+    against both the volume-free fused mode and the XLA reference."""
+    H, W, D, K = 32, 160, 23, 5
+    rng = np.random.default_rng(7)
+    cam, proj = _pair(rng, H, W)
+    target = jnp.asarray(rng.random((H, W), dtype=np.float32)) * 3
+
+    def loss(mode):
+        def f(c):
+            r = stereo_pipeline_trainable(c, proj, D, K, 1e-8, 50.0, 0.6,
+                                          True, save_volume=mode)
+            return jnp.mean((r.soft_disparity - target) ** 2)
+        return f
+
+    def loss_xla(c):
+        r = extract_disparity(stereo_matching(c, proj, D, K),
+                              num_disparities=D)
+        return jnp.mean((r.soft_disparity - target) ** 2)
+
+    g_vol = np.asarray(jax.grad(loss(True))(cam))
+    g_free = np.asarray(jax.grad(loss(False))(cam))
+    g_ref = np.asarray(jax.grad(loss_xla)(cam))
+    assert np.isfinite(g_vol).all()
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_vol / scale, g_free / scale, atol=2e-5)
+    np.testing.assert_allclose(g_vol / scale, g_ref / scale, atol=2e-5)
+
+
 def test_model_training_uses_fused_path():
     """model-level disparity_loss gradient on the pallas_interpret backend
     == xla backend (exercises the dispatch in models/optimize.py)."""
