@@ -326,6 +326,15 @@ def pallas_cost_volume_banded_hdw(
         hb=hb, dt=dt, wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp,
         n_last=(D + 1) - (n_d - 1) * dt)
 
+    # NOTE: unlike the trainable forward (pallas_pipeline.py), the plane
+    # dim is NOT rounded up to a multiple of 16 here.  The direct-DMA
+    # backwards stream TWO volume-sized tiles (cotangent + cost), so a
+    # dt=16 double-buffered pair exceeds the ~16 MB VMEM at any useful
+    # block_rows; dt=8 with a taller row tile is the better trade, and
+    # 16-aligned planes with dt=8 would put unwritten planes into a
+    # live backward tile (the with-cost guard rejects that).
+    vol_planes = n_d * dt
+
     out = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
@@ -335,7 +344,7 @@ def pallas_cost_volume_banded_hdw(
         ],
         out_specs=pl.BlockSpec(
             (hb, dt, wo), lambda h, d: (h, d, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h_pad, n_d * dt, wo), camera.dtype),
+        out_shape=jax.ShapeDtypeStruct((h_pad, vol_planes, wo), camera.dtype),
         scratch_shapes=[
             pltpu.VMEM((band_rows, wcc), camera.dtype),   # camera band
             pltpu.VMEM((band_rows, pw), camera.dtype),    # projector band

@@ -655,7 +655,7 @@ def volume_backward_cost(H: int, W: int, D: int, k: int,
     hb = _round_up(hb, 8)
     hbe = hb + 2 * p
     n_planes = _round_up(D + 1, 8)
-    dtv = dt
+    dtv = 8
     for cand in range(8, _round_up(dt, 8) + 1, 8):
         if n_planes % cand == 0:
             dtv = cand

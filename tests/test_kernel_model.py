@@ -86,3 +86,70 @@ def test_opcount_algebra():
     bb.bytes = 50.0
     c = (a + bb).scaled(2)
     assert c["madd"] == 20 and c["lshift"] == 10 and c.bytes == 300.0
+
+
+def test_opcount_byte_pools_and_dma_pricing():
+    """bytes_r/bytes_w propagate through the algebra; time() prices the
+    memory leg with measured DMA rates when present, else datasheet BW."""
+    a = OpCount(madd=1)
+    a.bytes_r, a.bytes_w, a.bytes = 100.0, 10.0, 110.0
+    b = OpCount()
+    b.bytes_r, b.bytes_w, b.bytes = 50.0, 5.0, 55.0
+    c = (a + b).scaled(2)
+    assert c.bytes_r == 300.0 and c.bytes_w == 30.0 and c.bytes == 330.0
+
+    dma_rates = dict(RATES, hbm_r3d=2.0e-12, hbm_w3d=4.0e-12)
+    t_dma = c.time(dma_rates, 8.19e11)
+    expect = 300.0 * 2.0e-12 + 30.0 * 4.0e-12
+    assert abs(t_dma["t_memory_s"] - expect) < 1e-18
+    # Compute-only rate dict -> datasheet bandwidth fallback.
+    t_bw = c.time(RATES, 8.19e11)
+    assert abs(t_bw["t_memory_s"] - 330.0 / 8.19e11) < 1e-18
+
+
+def test_cost_fns_populate_byte_pools():
+    costs = [
+        fused_forward_cost(H, W, D, K, 32, 40),
+        fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
+        fused_backward_cost(H, W, D, K, 48, 8),
+        fused_backward_c_cost(H, W, D, K, 40, 8),
+        volume_forward_cost(H, W, D, K, 48, 8),
+        volume_backward_cost(H, W, D, K, 40, 8, True),
+    ]
+    for c in costs:
+        assert c.bytes_r > 0 and c.bytes_w > 0
+        assert c.bytes == pytest.approx(c.bytes_r + c.bytes_w)
+
+
+def test_rates_cache_dma_fallback_branches(tmp_path):
+    """A compute-only (pre-DMA-era) cache is returned as-is when
+    measurement is disabled; an absent device kind returns None."""
+    import json
+
+    import jax
+
+    from custereomatching_tpu.utils.kernel_model import measure_vpu_rates
+
+    kind = jax.devices()[0].device_kind
+    path = tmp_path / "rates.json"
+    path.write_text(json.dumps({kind: dict(RATES)}))
+    got = measure_vpu_rates(cache_path=str(path), measure_if_missing=False)
+    assert got == {k: pytest.approx(v) for k, v in RATES.items()}
+
+    path.write_text(json.dumps({"some other device": dict(RATES)}))
+    assert measure_vpu_rates(cache_path=str(path),
+                             measure_if_missing=False) is None
+
+
+def test_trainable_backward_models_dt16_plane_padding():
+    """fused_backward_c_cost mirrors the forward's 16-aligned plane
+    declaration: KITTI D=192 (200 -> 208 planes) runs dt=16, which must
+    price strictly cheaper tile overheads than an 8-divisible-only D."""
+    # D=199: 200 planes, decl 208, 208-200=8 < 16 -> padded, dt=16.
+    padded = fused_backward_c_cost(H, W, 199, K, 40, 8)
+    # D=207: 208 planes already 16-divisible -> dt=16 without padding.
+    native16 = fused_backward_c_cost(H, W, 207, K, 40, 8)
+    # Same tile geometry -> per-plane costs within a plane-count ratio.
+    t_p = padded.time(RATES, 8.19e11)["t_compute_s"]
+    t_n = native16.time(RATES, 8.19e11)["t_compute_s"]
+    assert 0.9 < (t_p / t_n) / (200 / 208) < 1.1
