@@ -1,0 +1,390 @@
+"""Ablate the cost-residual fused backward's per-plane stages on TPU.
+
+Round-3 state: the fused train backward (`_fused_bwd_c_kernel`) measures
+~66% of its calibrated bound; the per-step DMA stall was eliminated by
+double-buffering, so the residual gap must live in the per-plane compute
+schedule.  This sweep rebuilds the kernel with individually removable
+stages and times each variant at the KITTI shape, so the gap can be
+attributed to a stage (box pass, head cotangent, rsqrt, accumulators,
+the unaligned gr staging store) instead of guessed at.
+
+Usage:
+  python scripts/sweep4_bwdc_ablate.py [--configs full,...]   # TPU timing
+  python scripts/sweep4_bwdc_ablate.py --check                # CPU validity
+
+
+``--check`` runs the ablation kernel with every stage enabled in Pallas
+interpreter mode at a small shape and asserts the combined gradient
+equals the production ``_fused_train_bwd_c_impl`` on identical inputs —
+so a timing taken from this mirror speaks for the shipped kernel.
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from custereomatching_tpu.ops.pallas_zncc import _box_from_band, _round_up
+
+SHAPE = (375, 1242, 192, 15)
+BETA = 50.0
+EPS = 1e-8
+
+
+def _rb(x):
+    return float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+
+
+def _chain(fn, args, n, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        _rb(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time(fn, *args):
+    for _ in range(3):
+        _rb(fn(*args))
+    return max((_chain(fn, args, 32) - _chain(fn, args, 8)) / 24, 1e-9)
+
+
+def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
+            a1_ref, b_ref, grmu_ref,
+            cam_vmem, proj_vmem, maps_vmem, c_vmem, gr_scr,
+            ex2_scr, sy_scr, ey2_scr,
+            a1_scr, b_scr, grmu_scr, sems,
+            *, Hs, Ws, Ds, k, eps, beta, hb, dt,
+            wo, woe, wcc, pw, syw, lp, maps_rows, g_rows, n_last,
+            go,                     # gr staging lane offset (p or 128)
+            do_box, do_head, do_r, do_b, do_grmu, do_a1):
+    h_idx = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    p = k // 2
+    hbe = hb + 2 * p
+    band_rows = _round_up(hbe + 2 * p, 8)
+    inv_k2 = 1.0 / float(k * k)
+
+    @pl.when(d_idx == 0)
+    def _load_and_stats():
+        r0 = h_idx * hb
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
+        s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
+        maps_dma = pltpu.make_async_copy(
+            maps_hbm.at[pl.ds(s0m, hbe), :, :],
+            maps_vmem.at[pl.ds(p - ((r0 - p) - s0m), hbe)], sems.at[2])
+        cam_dma.start()
+        proj_dma.start()
+        maps_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
+        maps_dma.wait()
+
+        cam = cam_vmem[:, :]
+        sx = _box_from_band(cam, k, hbe, woe)
+        ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
+        ex2_scr[:, :] = ex2[:, p:p + wo]
+        proj = proj_vmem[:, :]
+        sy = _box_from_band(proj, k, hbe, syw)
+        sy_scr[:, :] = sy * inv_k2
+        ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
+                         - sy * sy * inv_k2)
+
+        a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+        gr_scr[:, 0:go] = jnp.zeros((hbe, go), gr_scr.dtype)
+        gr_scr[:, go + wo:] = jnp.zeros(
+            (hbe, gr_scr.shape[1] - go - wo), gr_scr.dtype)
+
+    r0 = h_idx * hb
+
+    def _issue_c(hi, di, sl):
+        r0i = hi * hb
+        s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
+            c_vmem.at[sl, pl.ds(p - ((r0i - p) - s0i), hbe)],
+            sems.at[3 + sl])
+
+    step = h_idx * n_d + d_idx
+    slot = lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_c():
+        _issue_c(h_idx, d_idx, slot).start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < pl.num_programs(0) * n_d)
+    def _prefetch_c():
+        _issue_c(nstep // n_d, lax.rem(nstep, n_d),
+                 lax.rem(nstep, 2)).start()
+
+    ex2 = ex2_scr[:, :]
+
+    d_base = d_idx * dt
+    shift = lp - (d_base + dt - 1)
+    psh = pltpu.roll(proj_vmem[:, :], pw - shift, axis=1)
+    syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
+    ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
+
+    _issue_c(h_idx, d_idx, slot).wait()
+
+    trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
+    rmask = jnp.logical_and(trow + (r0 - p) >= 0,
+                            trow + (r0 - p) < g_rows)
+
+    def map_w(i):
+        raw = maps_vmem[p:p + hbe, i, :]
+        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
+        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
+        ok = jnp.logical_and(
+            jnp.logical_and(trow2 >= 0, trow2 < Hs), tcol < Ws)
+        return jnp.where(ok, raw, 0.0)
+
+    m_e = map_w(0)
+    inv_s_e = map_w(1)
+    tos_e = map_w(2)
+    am_e = map_w(3)
+    gs_e = map_w(4)
+    gc_e = map_w(5)
+
+    def plane(j):
+        c0 = dt - 1 - j
+        if do_r:
+            ey2c = ey2b[:, c0 + p:c0 + p + wo]
+            r = lax.rsqrt(ex2 * ey2c + eps)
+        else:
+            ey2c = ex2
+            r = ex2
+        c_t = jnp.where(rmask, c_vmem[slot, p:p + hbe, j, :], 0.0)
+        d_f = jnp.float32(0) + (d_base + j)
+        if do_head:
+            w = jnp.where(inv_s_e > 0.0,
+                          jnp.exp(beta * (c_t - m_e)), 0.0) * inv_s_e
+            g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
+        else:
+            g_d = c_t
+        gr = g_d * r
+        if do_box:
+            gr_scr[:, go:go + wo] = gr
+            boxgr = _box_from_band(gr_scr[:, :], k, hb, wo,
+                                   col_start=go - p)
+        else:
+            boxgr = gr[p:p + hb, :]
+        if do_a1:
+            a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[
+                2 * p:2 * p + hb, c0 + 2 * p:c0 + 2 * p + wo]
+        else:
+            a1_scr[:, :] = a1_scr[:, :] + boxgr
+        csl = slice(p, p + hb)
+        r_c = r[csl, :]
+        if do_b:
+            b_scr[:, :] = b_scr[:, :] + (g_d[csl, :] * c_t[csl, :]
+                                         * (r_c * r_c) * ey2c[csl, :])
+        if do_grmu:
+            grmu_scr[:, :] = grmu_scr[:, :] + gr[csl, :] * syb[
+                p:p + hb, c0 + p:c0 + p + wo]
+
+    if n_last == dt:
+        for j in range(dt):
+            plane(j)
+    else:
+        @pl.when(d_idx != n_d - 1)
+        def _full_tile():
+            for j in range(dt):
+                plane(j)
+
+        @pl.when(d_idx == n_d - 1)
+        def _last_tile():
+            for j in range(n_last):
+                plane(j)
+
+    @pl.when(d_idx == n_d - 1)
+    def _epilogue():
+        a1_ref[:, :] = a1_scr[:, :]
+        b_ref[:, :] = b_scr[:, :]
+        grmu_ref[:, :] = grmu_scr[:, :]
+
+
+def build(hb=40, dt=16, go=None, shape=None, interpret=False, **gates):
+    H, W, D, K = shape if shape is not None else SHAPE
+    p = K // 2
+    hb = _round_up(hb, 8)
+    hbe = hb + 2 * p
+    n_planes = _round_up(D + 1, 8)
+    decl = _round_up(n_planes, 16)
+    if decl - (D + 1) < 16:
+        n_planes = decl
+    if n_planes % dt:
+        raise ValueError(f"dt {dt} does not divide {n_planes}")
+    n_d = n_planes // dt
+
+    wo = _round_up(max(W, 128), 128)
+    if go is None:
+        go = p
+    gw = _round_up(go + wo + p, 128)
+    woe = wo + 2 * p
+    wcc = _round_up(woe + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+
+    n_h = -(-H // hb)
+    h_pad = n_h * hb
+    band_rows = _round_up(hbe + 2 * p, 8)
+    src_rows = h_pad + band_rows
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    camera = jax.random.uniform(k1, (H, W), jnp.float32)
+    projector = jax.random.uniform(k2, (H, W), jnp.float32)
+    cam_p = jnp.zeros((src_rows, wcc), jnp.float32)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (2 * p, 2 * p))
+    proj_p = jnp.zeros((src_rows, pw), jnp.float32)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
+
+    maps_rows = max(h_pad, hbe)
+    maps = jax.random.uniform(k3, (maps_rows, 8, wo), jnp.float32,
+                              0.1, 1.0)
+    g_rows = maps_rows
+    cost = jax.random.uniform(k4, (g_rows, n_planes, wo), jnp.float32,
+                              -1.0, 1.0)
+
+    gates_full = dict(do_box=True, do_head=True, do_r=True, do_b=True,
+                      do_grmu=True, do_a1=True)
+    gates_full.update(gates)
+    kernel = functools.partial(
+        _kernel, Hs=H, Ws=W, Ds=D, k=K, eps=EPS, beta=BETA, hb=hb, dt=dt,
+        wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
+        maps_rows=maps_rows, g_rows=g_rows, go=go,
+        n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)), **gates_full)
+
+    map_shape = jax.ShapeDtypeStruct((h_pad, wo), jnp.float32)
+    map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(cam_p, proj_p, maps, cost):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_h, n_d),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=(map_spec, map_spec, map_spec),
+            out_shape=(map_shape, map_shape, map_shape),
+            scratch_shapes=[
+                pltpu.VMEM((band_rows, wcc), jnp.float32),
+                pltpu.VMEM((band_rows, pw), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, 8, wo), jnp.float32),
+                pltpu.VMEM((2, hbe + 2 * p, dt, wo), jnp.float32),
+                pltpu.VMEM((hbe, gw), jnp.float32),
+                pltpu.VMEM((hbe, wo), jnp.float32),
+                pltpu.VMEM((hbe, syw), jnp.float32),
+                pltpu.VMEM((hbe, syw), jnp.float32),
+                pltpu.VMEM((hb, wo), jnp.float32),
+                pltpu.VMEM((hb, wo), jnp.float32),
+                pltpu.VMEM((hb, wo), jnp.float32),
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+            interpret=interpret,
+        )(cam_p, proj_p, maps, cost)
+
+    return run, (cam_p, proj_p, maps, cost), (camera, projector, maps, cost)
+
+
+CONFIGS = {
+    "full": {},
+    "full_dt8": {"dt": 8},
+    "hb32": {"hb": 32},
+    "hb48": {"hb": 48},
+    "hb56": {"hb": 56},
+    "aligned_store": {"go": 128},
+    "no_box": {"do_box": False},
+    "no_head": {"do_head": False},
+    "no_r": {"do_r": False},
+    "no_bgrmu": {"do_b": False, "do_grmu": False},
+    "no_a1mul": {"do_a1": False},
+    "bare": {"do_box": False, "do_head": False, "do_r": False,
+             "do_b": False, "do_grmu": False, "do_a1": False},
+}
+
+
+def check(configs=("full", "aligned_store", "full_dt8")):
+    """Interpreter-mode equivalence vs the shipped backward (small shape).
+
+    Only structure-preserving configs (all compute gates on) can match;
+    the do_* ablations intentionally change the math.
+    """
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        _fused_train_bwd_c_impl)
+    from custereomatching_tpu.ops.zncc import box2d
+
+    shape = (24, 40, 10, 5)
+    Hc, Wc, Dc, Kc = shape
+    failed = False
+    for name in configs:
+        cfg = dict(CONFIGS[name])
+        cfg.setdefault("hb", 8)
+        fn, data, (camera, projector, maps, cost) = build(
+            shape=shape, interpret=True, **cfg)
+        a1, b, grmu = fn(*data)
+        a1, b, grmu = a1[:Hc, :Wc], b[:Hc, :Wc], grmu[:Hc, :Wc]
+        k2 = jnp.asarray(Kc * Kc, camera.dtype)
+        mux = box2d(camera, Kc) / k2
+        got = (a1 - box2d(grmu, Kc) + box2d(b * mux, Kc)
+               - camera * box2d(b, Kc))
+        want = _fused_train_bwd_c_impl(
+            camera, projector, maps, cost, Dc, Kc, EPS, BETA,
+            block_rows=cfg["hb"], interpret=True)
+        err = float(jnp.max(jnp.abs(got - want)))
+        rel = err / (float(jnp.max(jnp.abs(want))) + 1e-30)
+        ok = rel < 1e-5
+        failed |= not ok
+        print(f"check {name:>14}: max|Δ| {err:.3e} (rel {rel:.1e}) "
+              f"{'OK' if ok else 'MISMATCH'}", flush=True)
+        assert np.isfinite(np.asarray(got)).all()
+    return 1 if failed else 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--check", action="store_true",
+                    help="interpreter-mode equivalence vs production")
+    args = ap.parse_args()
+    if args.check:
+        raise SystemExit(check())
+    for name in args.configs.split(","):
+        try:
+            fn, data, _ = build(**CONFIGS[name])
+            t = _time(fn, *data)
+            print(f"{name:>16}: {t * 1e3:7.3f} ms", flush=True)
+        except Exception as e:
+            msg = str(e).split("\n")[0][:160]
+            print(f"{name:>16}: FAILED {type(e).__name__}: {msg}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
