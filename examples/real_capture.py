@@ -16,6 +16,13 @@ import argparse
 import os
 import sys
 
+# Honor JAX_PLATFORMS=cpu even when the interpreter pre-registered a
+# hardware platform via jax.config at startup (sitecustomize).
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,6 +19,13 @@ import os
 import sys
 import time
 
+# Honor JAX_PLATFORMS=cpu even when the interpreter pre-registered a
+# hardware platform via jax.config at startup (sitecustomize).
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 
