@@ -70,6 +70,7 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
             *, Hs, Ws, Ds, k, eps, beta, hb, dt,
             wo, woe, wcc, pw, syw, lp, maps_rows, g_rows, n_last,
             go,                     # gr staging lane offset (p or 128)
+            pair,                   # planes folded per accumulator store
             do_box, do_head, do_r, do_b, do_grmu, do_a1):
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
@@ -167,7 +168,8 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
     gs_e = map_w(4)
     gc_e = map_w(5)
 
-    def plane(j):
+    def plane_terms(j):
+        """Per-plane contribution to the three accumulators (as values)."""
         c0 = dt - 1 - j
         if do_r:
             ey2c = ey2b[:, c0 + p:c0 + p + wo]
@@ -191,32 +193,42 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         else:
             boxgr = gr[p:p + hb, :]
         if do_a1:
-            a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[
-                2 * p:2 * p + hb, c0 + 2 * p:c0 + 2 * p + wo]
+            a1_t = boxgr * psh[2 * p:2 * p + hb,
+                               c0 + 2 * p:c0 + 2 * p + wo]
         else:
-            a1_scr[:, :] = a1_scr[:, :] + boxgr
+            a1_t = boxgr
         csl = slice(p, p + hb)
         r_c = r[csl, :]
-        if do_b:
-            b_scr[:, :] = b_scr[:, :] + (g_d[csl, :] * c_t[csl, :]
-                                         * (r_c * r_c) * ey2c[csl, :])
-        if do_grmu:
-            grmu_scr[:, :] = grmu_scr[:, :] + gr[csl, :] * syb[
-                p:p + hb, c0 + p:c0 + p + wo]
+        b_t = (g_d[csl, :] * c_t[csl, :] * (r_c * r_c) * ey2c[csl, :]
+               if do_b else None)
+        g_t = (gr[csl, :] * syb[p:p + hb, c0 + p:c0 + p + wo]
+               if do_grmu else None)
+        return a1_t, b_t, g_t
+
+    def run_planes(n):
+        for j0 in range(0, n, pair):
+            a1_t, b_t, g_t = plane_terms(j0)
+            for j in range(j0 + 1, min(j0 + pair, n)):
+                a1_j, b_j, g_j = plane_terms(j)
+                a1_t = a1_t + a1_j
+                b_t = None if b_t is None else b_t + b_j
+                g_t = None if g_t is None else g_t + g_j
+            a1_scr[:, :] = a1_scr[:, :] + a1_t
+            if b_t is not None:
+                b_scr[:, :] = b_scr[:, :] + b_t
+            if g_t is not None:
+                grmu_scr[:, :] = grmu_scr[:, :] + g_t
 
     if n_last == dt:
-        for j in range(dt):
-            plane(j)
+        run_planes(dt)
     else:
         @pl.when(d_idx != n_d - 1)
         def _full_tile():
-            for j in range(dt):
-                plane(j)
+            run_planes(dt)
 
         @pl.when(d_idx == n_d - 1)
         def _last_tile():
-            for j in range(n_last):
-                plane(j)
+            run_planes(n_last)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -225,7 +237,8 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         grmu_ref[:, :] = grmu_scr[:, :]
 
 
-def build(hb=40, dt=16, go=None, shape=None, interpret=False, **gates):
+def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
+          **gates):
     H, W, D, K = shape if shape is not None else SHAPE
     p = K // 2
     hb = _round_up(hb, 8)
@@ -275,7 +288,7 @@ def build(hb=40, dt=16, go=None, shape=None, interpret=False, **gates):
     kernel = functools.partial(
         _kernel, Hs=H, Ws=W, Ds=D, k=K, eps=EPS, beta=BETA, hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
-        maps_rows=maps_rows, g_rows=g_rows, go=go,
+        maps_rows=maps_rows, g_rows=g_rows, go=go, pair=pair,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)), **gates_full)
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), jnp.float32)
@@ -317,6 +330,9 @@ CONFIGS = {
     "hb48": {"hb": 48},
     "hb56": {"hb": 56},
     "aligned_store": {"go": 128},
+    "pair2": {"pair": 2},
+    "pair4": {"pair": 4},
+    "pair2_aligned": {"pair": 2, "go": 128},
     "no_box": {"do_box": False},
     "no_head": {"do_head": False},
     "no_r": {"do_r": False},
@@ -327,7 +343,8 @@ CONFIGS = {
 }
 
 
-def check(configs=("full", "aligned_store", "full_dt8")):
+def check(configs=("full", "aligned_store", "full_dt8", "pair2", "pair4",
+                   "pair2_aligned")):
     """Interpreter-mode equivalence vs the shipped backward (small shape).
 
     Only structure-preserving configs (all compute gates on) can match;
