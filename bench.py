@@ -215,7 +215,45 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
           file=sys.stderr)
 
 
+def _preflight(attempts: int = 2, wait_s: float = 60.0) -> None:
+    """Fail fast when the device is unreachable or degraded.
+
+    The tunneled TPU can hang outright (BASELINE.md): a bench run started
+    in that state would block at the first dispatch and the round would
+    record nothing intelligible.  Probe in a SUBPROCESS (the hang lives
+    in backend init, which cannot be timed out in-process), retry once —
+    the tunnel flaps — then exit 2 with a clear stderr message and no
+    JSON line, so a harness never records a garbage headline.
+    """
+    import os
+    import subprocess
+
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "device_probe.py")
+    if not os.path.exists(probe):
+        return
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, probe], timeout=240,
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                return
+            reason = (r.stdout + r.stderr).strip().splitlines()[-1:]
+            reason = reason[0] if reason else "probe failed"
+        except subprocess.TimeoutExpired:
+            reason = "device probe hung (tunnel unresponsive)"
+        print(f"bench preflight attempt {i + 1}/{attempts}: {reason}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(wait_s)
+    print("bench: device unreachable or degraded; refusing to emit "
+          "numbers from a bad window", file=sys.stderr, flush=True)
+    raise SystemExit(2)
+
+
 def main() -> None:
+    _preflight()
     rng = np.random.default_rng(0)
     camera = jnp.asarray(rng.random((H, W), dtype=np.float32))
     projector = jnp.asarray(rng.random((H, W), dtype=np.float32))
