@@ -647,13 +647,15 @@ def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
     return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
 
 
-def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
-                        a1_ref, b_ref, grmu_ref,
-                        cam_vmem, proj_vmem, maps_vmem, c_vmem, gr_scr,
-                        ex2_scr, sy_scr, ey2_scr,
+def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
+                        s_hbm, t_hbm, gs_hbm, gc_hbm, c_hbm,
+                        grad_ref,
+                        cam_vmem, proj_vmem, c_vmem, gr_scr,
+                        am_b, is_b, tos_b, gs_b, gc_b, m_b, mk_b,
+                        sx_scr, ex2_scr, sy_scr, ey2_scr,
                         a1_scr, b_scr, grmu_scr, sems,
                         *, H: int, W: int, D: int, k: int, eps: float,
-                        beta: float, hb: int, dt: int,
+                        beta: float, unnormalized: bool, hb: int, dt: int,
                         wo: int, woe: int, wcc: int, pw: int, syw: int,
                         lp: int, maps_rows: int, g_rows: int, n_last: int):
     """Cost-residual fused backward: the training forward saved the cost
@@ -663,7 +665,20 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
     ``box2d(g·r)`` pass, three accumulations.  All per-plane elementwise
     work runs at the aligned center width ``wo`` — the ±p column reach of
     the box comes from ``gr_scr``'s zero margins (g_d is identically zero
-    outside the image because the residual maps are)."""
+    outside the image because the residual maps are).
+
+    The XLA glue that used to surround this kernel is fused in:
+
+    * inputs are the RAW forward residuals (am/mask/conf/s/t) and the
+      two zero-padded cotangents — the head derivations (1/s, t/s, β·
+      mask premul) and the out-of-image masking run ONCE per row tile at
+      load time (they were previously an XLA ``stack`` + per-grid-STEP
+      re-masking: 6 maps × n_d re-selects);
+    * ``b``/``grmu`` accumulate at the extended row extent, so the
+      gradient-combine box filters (the old 4×``box2d`` XLA epilogue)
+      run in-kernel per tile with no cross-tile halo, and the kernel
+      emits ONE finished gradient map instead of three partial ones.
+    """
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -684,18 +699,27 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         # STATIC row slice at offset p — dynamic sublane bases in the
         # plane loop are what the per-plane read path cannot afford.
         s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
-        maps_dma = pltpu.make_async_copy(
-            maps_hbm.at[pl.ds(s0m, hbe), :, :],
-            maps_vmem.at[pl.ds(p - ((r0 - p) - s0m), hbe)], sems.at[2])
+        o_m = p - ((r0 - p) - s0m)
+        srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
+        dsts = [am_b, is_b, tos_b, gs_b, gc_b, mk_b]
+        if not unnormalized:
+            srcs.append(conf_hbm)
+            dsts.append(m_b)
+        copies = [pltpu.make_async_copy(
+            src.at[pl.ds(s0m, hbe)], dst.at[pl.ds(o_m, hbe)],
+            sems.at[2 + i]) for i, (src, dst) in enumerate(zip(srcs, dsts))]
         cam_dma.start()
         proj_dma.start()
-        maps_dma.start()
+        for cp in copies:
+            cp.start()
         cam_dma.wait()
         proj_dma.wait()
-        maps_dma.wait()
+        for cp in copies:
+            cp.wait()
 
         cam = cam_vmem[:, :]
         sx = _box_from_band(cam, k, hbe, woe)
+        sx_scr[:, :] = sx[:, p:p + wo] * inv_k2     # μx (epilogue)
         ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
         ex2_scr[:, :] = ex2[:, p:p + wo]            # center columns only
         proj = proj_vmem[:, :]
@@ -704,9 +728,28 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
                          - sy * sy * inv_k2)
 
+        # Head derivations + out-of-image masking, ONCE per row tile
+        # (the per-plane loop then reads them back verbatim).  Rows the
+        # clamped DMA left stale hold garbage; every transform routes
+        # through the same where(ok, ·, 0) select, so garbage (even
+        # Inf/NaN) never escapes.
+        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
+        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
+        ok = jnp.logical_and(
+            jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
+        csl = pl.ds(p, hbe)
+        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
+        is_b[csl] = inv_s
+        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
+        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
+        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
+        if not unnormalized:
+            m_b[csl] = jnp.where(ok, m_b[csl], 0.0)
+
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
-        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
-        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hbe, wo), grmu_scr.dtype)
         gr_scr[:, 0:p] = jnp.zeros((hbe, p), gr_scr.dtype)
         gr_scr[:, p + wo:woe] = jnp.zeros((hbe, woe - wo - p),
                                           gr_scr.dtype)
@@ -724,7 +767,7 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         return pltpu.make_async_copy(
             c_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
             c_vmem.at[sl, pl.ds(p - ((r0i - p) - s0i), hbe)],
-            sems.at[3 + sl])
+            sems.at[9 + sl])
 
     step = h_idx * n_d + d_idx
     slot = lax.rem(step, 2)
@@ -754,22 +797,13 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
     rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                             trow + (r0 - p) < g_rows)
 
-    def map_w(i):
-        """Residual map i at [hbe, wo], zero outside the image (reads
-        rows the clamped DMA left stale are masked off)."""
-        raw = maps_vmem[p:p + hbe, i, :]
-        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
-        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
-        ok = jnp.logical_and(
-            jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
-        return jnp.where(ok, raw, 0.0)
-
-    m_e = map_w(0)
-    inv_s_e = map_w(1)
-    tos_e = map_w(2)
-    am_e = map_w(3)
-    gs_e = map_w(4)         # ĝ_soft · mask · β
-    gc_e = map_w(5)         # ĝ_conf
+    csl = pl.ds(p, hbe)
+    inv_s_e = is_b[csl]
+    tos_e = tos_b[csl]
+    am_e = am_b[csl]
+    gs_e = gs_b[csl]        # ĝ_soft · mask · β
+    gc_e = gc_b[csl]        # ĝ_conf
+    m_e = None if unnormalized else m_b[csl]
 
     def plane(j):
         c0 = dt - 1 - j
@@ -779,8 +813,8 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         d_f = jnp.float32(0) + (d_base + j)
         # Guard out-of-image positions in normalized mode (m_e = 0 there
         # but c_t can be ~1: exp(β·c) overflows; Inf·0 = NaN).
-        w = jnp.where(inv_s_e > 0.0,
-                      jnp.exp(beta * (c_t - m_e)), 0.0) * inv_s_e
+        arg = beta * c_t if unnormalized else beta * (c_t - m_e)
+        w = jnp.where(inv_s_e > 0.0, jnp.exp(arg), 0.0) * inv_s_e
         g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
 
         gr = g_d * r
@@ -788,12 +822,12 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         boxgr = _box_from_band(gr_scr[:, :], k, hb, wo)
         a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[2 * p:2 * p + hb,
                                                   c0 + 2 * p:c0 + 2 * p + wo]
-        csl = slice(p, p + hb)
-        r_c = r[csl, :]
-        b_scr[:, :] = b_scr[:, :] + (g_d[csl, :] * c_t[csl, :]
-                                     * (r_c * r_c) * ey2c[csl, :])
-        grmu_scr[:, :] = grmu_scr[:, :] + gr[csl, :] * syb[
-            p:p + hb, c0 + p:c0 + p + wo]
+        # b / grmu accumulate at the EXTENDED row extent: the epilogue's
+        # box filters then need no cross-tile halo (rows outside the
+        # image contribute exact zeros — g_d is masked to zero there).
+        r_c = r
+        b_scr[:, :] = b_scr[:, :] + (g_d * c_t * (r_c * r_c) * ey2c)
+        grmu_scr[:, :] = grmu_scr[:, :] + gr * syb[:, c0 + p:c0 + p + wo]
 
     if n_last == dt:
         for j in range(dt):
@@ -811,14 +845,29 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
-        a1_ref[:, :] = a1_scr[:, :]
-        b_ref[:, :] = b_scr[:, :]
-        grmu_ref[:, :] = grmu_scr[:, :]
+        # grad = A1 − box(grmu) + box(b·μx) − camera · box(b), evaluated
+        # per tile on the extended-row accumulators (the old XLA
+        # epilogue).  gr_scr's zero column margins serve the ±p column
+        # reach of each box; it is staged three times sequentially.
+        gr_scr[:, p:p + wo] = grmu_scr[:, :]
+        t2 = _box_from_band(gr_scr[:, :], k, hb, wo)
+        gr_scr[:, p:p + wo] = b_scr[:, :] * sx_scr[:, :]
+        t3 = _box_from_band(gr_scr[:, :], k, hb, wo)
+        gr_scr[:, p:p + wo] = b_scr[:, :]
+        t4 = _box_from_band(gr_scr[:, :], k, hb, wo)
+        cam_c = cam_vmem[2 * p:2 * p + hb, 2 * p:2 * p + wo]
+        grad_ref[:, :] = (a1_scr[:, :] - t2) + (t3 - cam_c * t4)
 
 
-def _fused_train_bwd_c_impl(camera, projector, maps_stack, cost, D, k, eps,
-                            beta, block_rows, interpret):
-    """Driver for the cost-residual fused backward."""
+def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
+                            D, k, eps, beta, block_rows, interpret):
+    """Driver for the cost-residual fused backward.
+
+    ``residual_maps`` is the 7-tuple ``(am, mask, conf, s, t, gsoft_pad,
+    gconf_pad)`` of raw ``[h_pad, wo]`` forward residuals and zero-padded
+    cotangents; all head derivations, masking, and the gradient-combine
+    box filters run inside the kernel (no XLA stack/epilogue — the
+    kernel returns the finished padded gradient, cropped here)."""
     H, W = camera.shape
     p = k // 2
     hb = _round_up(int(block_rows), 8)
@@ -856,44 +905,53 @@ def _fused_train_bwd_c_impl(camera, projector, maps_stack, cost, D, k, eps,
     proj_p = jnp.zeros((src_rows, pw), projector.dtype)
     proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
 
-    maps_rows = maps_stack.shape[0]
+    maps = list(residual_maps)
+    maps_rows = maps[0].shape[0]
     if maps_rows < hbe:
-        maps_stack = jnp.pad(maps_stack,
-                             ((0, hbe - maps_rows), (0, 0), (0, 0)))
+        maps = [jnp.pad(m, ((0, hbe - maps_rows), (0, 0))) for m in maps]
         maps_rows = hbe
     if g_rows < hbe:
         cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
         g_rows = hbe
 
+    unnormalized = _unnormalized_head(beta, D)
     kernel = functools.partial(
         _fused_bwd_c_kernel, H=H, W=W, D=D, k=k, eps=float(eps),
-        beta=float(beta), hb=hb, dt=dt, wo=wo, woe=woe, wcc=wcc, pw=pw,
+        beta=float(beta), unnormalized=unnormalized, hb=hb, dt=dt,
+        wo=wo, woe=woe, wcc=wcc, pw=pw,
         syw=syw, lp=lp, maps_rows=maps_rows, g_rows=g_rows,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)))
 
-    map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
-    a1, b, grmu = pl.pallas_call(
+    am, mask, conf, s, t, gsoft_p, gconf_p = maps
+    grad = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=(map_spec, map_spec, map_spec),
-        out_shape=(map_shape, map_shape, map_shape),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10,
+        out_specs=map_spec,
+        out_shape=jax.ShapeDtypeStruct((h_pad, wo), camera.dtype),
         scratch_shapes=[
             pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera
             pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
-            pltpu.VMEM((hbe + 2 * p, 8, wo), camera.dtype),   # maps
             pltpu.VMEM((2, hbe + 2 * p, dt, wo),
                        camera.dtype),                # cost tile (2 slots)
             pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # am
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # 1/s
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # t/s
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝs·mask·β
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝc
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # m (norm.)
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # mask stage
+            pltpu.VMEM((hbe, wo), camera.dtype),              # μx
             pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
             pltpu.VMEM((hbe, syw), camera.dtype),             # μy
             pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
             pltpu.VMEM((hb, wo), camera.dtype),               # A1
-            pltpu.VMEM((hb, wo), camera.dtype),               # B
-            pltpu.VMEM((hb, wo), camera.dtype),               # GRMU
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((hbe, wo), camera.dtype),              # B (ext)
+            pltpu.VMEM((hbe, wo), camera.dtype),              # GRMU (ext)
+            pltpu.SemaphoreType.DMA((11,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * k * H * W * (D + 1),
@@ -901,16 +959,9 @@ def _fused_train_bwd_c_impl(camera, projector, maps_stack, cost, D, k, eps,
             transcendentals=2 * H * W * (D + 1),
         ),
         interpret=interpret,
-    )(cam_p, proj_p, maps_stack, cost)
+    )(cam_p, proj_p, am, mask, conf, s, t, gsoft_p, gconf_p, cost)
 
-    from custereomatching_tpu.ops.zncc import box2d
-
-    a1 = a1[:H, :W]
-    b = b[:H, :W]
-    grmu = grmu[:H, :W]
-    k2 = jnp.asarray(k * k, camera.dtype)
-    mux = box2d(camera, k) / k2
-    return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
+    return grad[:H, :W]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -988,20 +1039,16 @@ def _fused_train_v_bwd(num_disparities, kernel_size, epsilon, beta,
     camera, projector, am, mask, conf, s, t, cv = residuals
     h_pad, wo = am.shape
     H, W = camera.shape
-    gs = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
-        g.soft_disparity * beta)
-    gs = gs * mask
-    gc = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(g.confidence)
-    inv_s = 1.0 / s
-    tos = t * inv_s
-    m_for_w = (jnp.zeros_like(conf)
-               if _unnormalized_head(beta, num_disparities) else conf)
-    maps_stack = jnp.stack(
-        [m_for_w, inv_s, tos, am, gs, gc,
-         jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)
+    # The only XLA prep left: zero-pad the two cotangents to the padded
+    # map extent.  Head derivations (1/s, t/s, β·mask premul), masking,
+    # and the gradient-combine boxes all run inside the kernel.
+    gsoft_p = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
+        g.soft_disparity)
+    gconf_p = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
+        g.confidence)
     cam_grad = _fused_train_bwd_c_impl(
-        camera, projector, maps_stack, cv, num_disparities, kernel_size,
-        epsilon, beta, 40, interpret)
+        camera, projector, (am, mask, conf, s, t, gsoft_p, gconf_p), cv,
+        num_disparities, kernel_size, epsilon, beta, 40, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 

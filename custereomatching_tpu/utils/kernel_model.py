@@ -517,8 +517,10 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
                           hb: int = 48, dt: int = 8) -> OpCount:
     """Op/byte counts of the cost-residual fused trainable backward
     (ops/pallas_pipeline.py::_fused_bwd_c_kernel): per plane one DMA'd
-    cost read, head cotangent, one box pass, three accumulations — all
-    elementwise work at the aligned center width."""
+    cost read, head cotangent, one box pass, three accumulations (b and
+    grmu at the extended row extent), plus the per-tile head prep and
+    the fused gradient-combine epilogue (the kernel consumes the raw
+    residual maps and emits the finished gradient — no XLA glue)."""
     p = k // 2
     hb = _round_up(hb, 8)
     hbe = hb + 2 * p
@@ -549,19 +551,25 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
     per_plane = per_plane + OpCount(madd=2 * hbe * wo)        # gr + store
     per_plane = per_plane + _box_ops(k, hbe, hb, woe, wo)
     per_plane = per_plane + OpCount(lshift=2 * hb * wo)       # a1 += ·psh
-    per_plane = per_plane + OpCount(madd=4 * hb * wo)         # B term
-    per_plane = per_plane + OpCount(lshift=2 * hb * wo)       # grmu
+    per_plane = per_plane + OpCount(madd=4 * hbe * wo)        # B term (ext)
+    per_plane = per_plane + OpCount(lshift=2 * hbe * wo)      # grmu (ext)
 
     tile = per_plane.scaled(D + 1)
     tile = tile + _stats_ops(k, band_rows, hbe, wcc, woe, pw, syw)
-    tile = tile + OpCount(madd=6 * 2 * hbe * wo)              # maps masking
+    # Per-tile head prep (1/s, t/s, β·mask premul, out-of-image selects —
+    # fused in; previously an XLA stack + per-STEP re-masking).
+    tile = tile + OpCount(madd=10 * hbe * wo, rsqrt=hbe * wo)
     tile = tile + _roll_ops(band_rows, pw, hbe, syw).scaled(n_d)
-
+    # Fused gradient-combine epilogue: three staged boxes + combine
+    # (replaces the old 4×box2d XLA epilogue and two extra output maps).
+    tile = tile + _box_ops(k, hbe, hb, woe, wo).scaled(3)
+    tile = tile + OpCount(madd=4 * hbe * wo + 3 * hb * wo,
+                          lshift=hb * wo)
     total = tile.scaled(n_h)
     total.bytes_r = (n_h * band_rows * (wcc + pw) * 4
-                     + n_h * hbe * 8 * wo * 4                # maps stack
+                     + 6 * n_h * hbe * wo * 4                # residual maps
                      + n_h * hbe * n_planes * wo * 4)        # cost read
-    total.bytes_w = 3 * n_h * hb * wo * 4
+    total.bytes_w = n_h * hb * wo * 4                        # one grad map
     total.bytes = total.bytes_r + total.bytes_w
     return total
 

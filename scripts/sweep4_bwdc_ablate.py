@@ -3,20 +3,21 @@
 Round-3 state: the fused train backward (`_fused_bwd_c_kernel`) measures
 ~66% of its calibrated bound; the per-step DMA stall was eliminated by
 double-buffering, so the residual gap must live in the per-plane compute
-schedule.  This sweep rebuilds the kernel with individually removable
-stages and times each variant at the KITTI shape, so the gap can be
-attributed to a stage (box pass, head cotangent, rsqrt, accumulators,
-the unaligned gr staging store) instead of guessed at.
+schedule.  This sweep rebuilds the kernel (glue-fused form: raw residual
+maps in, per-tile head prep, extended-row accumulators, in-kernel
+gradient-combine epilogue) with individually removable stages and times
+each variant at the KITTI shape, so the gap can be attributed to a stage
+(box pass, head cotangent, rsqrt, accumulators, the unaligned gr staging
+store, the fused epilogue) instead of guessed at.
 
 Usage:
   python scripts/sweep4_bwdc_ablate.py [--configs full,...]   # TPU timing
   python scripts/sweep4_bwdc_ablate.py --check                # CPU validity
 
-
-``--check`` runs the ablation kernel with every stage enabled in Pallas
-interpreter mode at a small shape and asserts the combined gradient
-equals the production ``_fused_train_bwd_c_impl`` on identical inputs —
-so a timing taken from this mirror speaks for the shipped kernel.
+``--check`` runs structure-preserving configs in Pallas interpreter mode
+at a small shape and asserts the gradient equals the production
+``_fused_train_bwd_c_impl`` on identical inputs — so a timing taken from
+this mirror speaks for the shipped kernel.
 """
 
 import argparse
@@ -62,16 +63,18 @@ def _time(fn, *args):
     return max((_chain(fn, args, 32) - _chain(fn, args, 8)) / 24, 1e-9)
 
 
-def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
-            a1_ref, b_ref, grmu_ref,
-            cam_vmem, proj_vmem, maps_vmem, c_vmem, gr_scr,
-            ex2_scr, sy_scr, ey2_scr,
+def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
+            gs_hbm, gc_hbm, c_hbm,
+            grad_ref,
+            cam_vmem, proj_vmem, c_vmem, gr_scr,
+            am_b, is_b, tos_b, gs_b, gc_b, mk_b,
+            sx_scr, ex2_scr, sy_scr, ey2_scr,
             a1_scr, b_scr, grmu_scr, sems,
             *, Hs, Ws, Ds, k, eps, beta, hb, dt,
             wo, woe, wcc, pw, syw, lp, maps_rows, g_rows, n_last,
             go,                     # gr staging lane offset (p or 128)
             pair,                   # planes folded per accumulator store
-            do_box, do_head, do_r, do_b, do_grmu, do_a1):
+            do_box, do_head, do_r, do_b, do_grmu, do_a1, do_epi):
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -88,18 +91,24 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         proj_dma = pltpu.make_async_copy(
             proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
         s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
-        maps_dma = pltpu.make_async_copy(
-            maps_hbm.at[pl.ds(s0m, hbe), :, :],
-            maps_vmem.at[pl.ds(p - ((r0 - p) - s0m), hbe)], sems.at[2])
+        o_m = p - ((r0 - p) - s0m)
+        srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
+        dsts = [am_b, is_b, tos_b, gs_b, gc_b, mk_b]
+        copies = [pltpu.make_async_copy(
+            src.at[pl.ds(s0m, hbe)], dst.at[pl.ds(o_m, hbe)],
+            sems.at[2 + i]) for i, (src, dst) in enumerate(zip(srcs, dsts))]
         cam_dma.start()
         proj_dma.start()
-        maps_dma.start()
+        for cp in copies:
+            cp.start()
         cam_dma.wait()
         proj_dma.wait()
-        maps_dma.wait()
+        for cp in copies:
+            cp.wait()
 
         cam = cam_vmem[:, :]
         sx = _box_from_band(cam, k, hbe, woe)
+        sx_scr[:, :] = sx[:, p:p + wo] * inv_k2
         ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
         ex2_scr[:, :] = ex2[:, p:p + wo]
         proj = proj_vmem[:, :]
@@ -108,9 +117,21 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
                          - sy * sy * inv_k2)
 
+        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
+        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
+        ok = jnp.logical_and(
+            jnp.logical_and(trow2 >= 0, trow2 < Hs), tcol < Ws)
+        csl = pl.ds(p, hbe)
+        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
+        is_b[csl] = inv_s
+        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
+        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
+        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
+
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
-        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
-        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hbe, wo), grmu_scr.dtype)
         gr_scr[:, 0:go] = jnp.zeros((hbe, go), gr_scr.dtype)
         gr_scr[:, go + wo:] = jnp.zeros(
             (hbe, gr_scr.shape[1] - go - wo), gr_scr.dtype)
@@ -123,7 +144,7 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         return pltpu.make_async_copy(
             c_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
             c_vmem.at[sl, pl.ds(p - ((r0i - p) - s0i), hbe)],
-            sems.at[3 + sl])
+            sems.at[8 + sl])
 
     step = h_idx * n_d + d_idx
     slot = lax.rem(step, 2)
@@ -153,23 +174,14 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
     rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                             trow + (r0 - p) < g_rows)
 
-    def map_w(i):
-        raw = maps_vmem[p:p + hbe, i, :]
-        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
-        tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
-        ok = jnp.logical_and(
-            jnp.logical_and(trow2 >= 0, trow2 < Hs), tcol < Ws)
-        return jnp.where(ok, raw, 0.0)
-
-    m_e = map_w(0)
-    inv_s_e = map_w(1)
-    tos_e = map_w(2)
-    am_e = map_w(3)
-    gs_e = map_w(4)
-    gc_e = map_w(5)
+    csl = pl.ds(p, hbe)
+    inv_s_e = is_b[csl]
+    tos_e = tos_b[csl]
+    am_e = am_b[csl]
+    gs_e = gs_b[csl]
+    gc_e = gc_b[csl]
 
     def plane_terms(j):
-        """Per-plane contribution to the three accumulators (as values)."""
         c0 = dt - 1 - j
         if do_r:
             ey2c = ey2b[:, c0 + p:c0 + p + wo]
@@ -181,7 +193,7 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
         d_f = jnp.float32(0) + (d_base + j)
         if do_head:
             w = jnp.where(inv_s_e > 0.0,
-                          jnp.exp(beta * (c_t - m_e)), 0.0) * inv_s_e
+                          jnp.exp(beta * c_t), 0.0) * inv_s_e
             g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
         else:
             g_d = c_t
@@ -197,12 +209,8 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
                                c0 + 2 * p:c0 + 2 * p + wo]
         else:
             a1_t = boxgr
-        csl = slice(p, p + hb)
-        r_c = r[csl, :]
-        b_t = (g_d[csl, :] * c_t[csl, :] * (r_c * r_c) * ey2c[csl, :]
-               if do_b else None)
-        g_t = (gr[csl, :] * syb[p:p + hb, c0 + p:c0 + p + wo]
-               if do_grmu else None)
+        b_t = (g_d * c_t * (r * r) * ey2c if do_b else None)
+        g_t = (gr * syb[:, c0 + p:c0 + p + wo] if do_grmu else None)
         return a1_t, b_t, g_t
 
     def run_planes(n):
@@ -232,9 +240,18 @@ def _kernel(cam_hbm, proj_hbm, maps_hbm, c_hbm,
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
-        a1_ref[:, :] = a1_scr[:, :]
-        b_ref[:, :] = b_scr[:, :]
-        grmu_ref[:, :] = grmu_scr[:, :]
+        if do_epi:
+            gr_scr[:, go:go + wo] = grmu_scr[:, :]
+            t2 = _box_from_band(gr_scr[:, :], k, hb, wo, col_start=go - p)
+            gr_scr[:, go:go + wo] = b_scr[:, :] * sx_scr[:, :]
+            t3 = _box_from_band(gr_scr[:, :], k, hb, wo, col_start=go - p)
+            gr_scr[:, go:go + wo] = b_scr[:, :]
+            t4 = _box_from_band(gr_scr[:, :], k, hb, wo, col_start=go - p)
+            cam_c = cam_vmem[2 * p:2 * p + hb, 2 * p:2 * p + wo]
+            grad_ref[:, :] = (a1_scr[:, :] - t2) + (t3 - cam_c * t4)
+        else:
+            grad_ref[:, :] = a1_scr[:, :] + (b_scr[p:p + hb, :]
+                                             + grmu_scr[p:p + hb, :])
 
 
 def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
@@ -267,23 +284,31 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
     src_rows = h_pad + band_rows
 
     key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    camera = jax.random.uniform(k1, (H, W), jnp.float32)
-    projector = jax.random.uniform(k2, (H, W), jnp.float32)
+    ks = jax.random.split(key, 9)
+    camera = jax.random.uniform(ks[0], (H, W), jnp.float32)
+    projector = jax.random.uniform(ks[1], (H, W), jnp.float32)
     cam_p = jnp.zeros((src_rows, wcc), jnp.float32)
     cam_p = lax.dynamic_update_slice(cam_p, camera, (2 * p, 2 * p))
     proj_p = jnp.zeros((src_rows, pw), jnp.float32)
     proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
 
     maps_rows = max(h_pad, hbe)
-    maps = jax.random.uniform(k3, (maps_rows, 8, wo), jnp.float32,
-                              0.1, 1.0)
+    # Raw residual maps: am/mask/conf-free (unnormalized head), s kept
+    # away from zero so 1/s stays finite on the valid extent.
+    am = jnp.floor(jax.random.uniform(ks[2], (maps_rows, wo), jnp.float32,
+                                      0.0, D + 1.0))
+    mask = (jax.random.uniform(ks[3], (maps_rows, wo)) > 0.3).astype(
+        jnp.float32)
+    s = jax.random.uniform(ks[4], (maps_rows, wo), jnp.float32, 0.5, 2.0)
+    t = jax.random.uniform(ks[5], (maps_rows, wo), jnp.float32, 0.0, 50.0)
+    gs = jax.random.uniform(ks[6], (maps_rows, wo), jnp.float32, -1.0, 1.0)
+    gc = jax.random.uniform(ks[7], (maps_rows, wo), jnp.float32, -1.0, 1.0)
     g_rows = maps_rows
-    cost = jax.random.uniform(k4, (g_rows, n_planes, wo), jnp.float32,
+    cost = jax.random.uniform(ks[8], (g_rows, n_planes, wo), jnp.float32,
                               -1.0, 1.0)
 
     gates_full = dict(do_box=True, do_head=True, do_r=True, do_b=True,
-                      do_grmu=True, do_a1=True)
+                      do_grmu=True, do_a1=True, do_epi=True)
     gates_full.update(gates)
     kernel = functools.partial(
         _kernel, Hs=H, Ws=W, Ds=D, k=K, eps=EPS, beta=BETA, hb=hb, dt=dt,
@@ -291,36 +316,43 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
         maps_rows=maps_rows, g_rows=g_rows, go=go, pair=pair,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)), **gates_full)
 
-    map_shape = jax.ShapeDtypeStruct((h_pad, wo), jnp.float32)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
 
     @jax.jit
-    def run(cam_p, proj_p, maps, cost):
+    def run(cam_p, proj_p, am, mask, s, t, gs, gc, cost):
         return pl.pallas_call(
             kernel,
             grid=(n_h, n_d),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-            out_specs=(map_spec, map_spec, map_spec),
-            out_shape=(map_shape, map_shape, map_shape),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9,
+            out_specs=map_spec,
+            out_shape=jax.ShapeDtypeStruct((h_pad, wo), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((band_rows, wcc), jnp.float32),
                 pltpu.VMEM((band_rows, pw), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, 8, wo), jnp.float32),
                 pltpu.VMEM((2, hbe + 2 * p, dt, wo), jnp.float32),
                 pltpu.VMEM((hbe, gw), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM((hbe, wo), jnp.float32),
                 pltpu.VMEM((hbe, wo), jnp.float32),
                 pltpu.VMEM((hbe, syw), jnp.float32),
                 pltpu.VMEM((hbe, syw), jnp.float32),
                 pltpu.VMEM((hb, wo), jnp.float32),
-                pltpu.VMEM((hb, wo), jnp.float32),
-                pltpu.VMEM((hb, wo), jnp.float32),
-                pltpu.SemaphoreType.DMA((5,)),
+                pltpu.VMEM((hbe, wo), jnp.float32),
+                pltpu.VMEM((hbe, wo), jnp.float32),
+                pltpu.SemaphoreType.DMA((10,)),
             ],
             interpret=interpret,
-        )(cam_p, proj_p, maps, cost)
+        )(cam_p, proj_p, am, mask, s, t, gs, gc, cost)
 
-    return run, (cam_p, proj_p, maps, cost), (camera, projector, maps, cost)
+    data = (cam_p, proj_p, am, mask, s, t, gs, gc, cost)
+    raw = (camera, projector, am, mask, s, t, gs, gc, cost)
+    return run, data, raw
 
 
 CONFIGS = {
@@ -333,13 +365,15 @@ CONFIGS = {
     "pair2": {"pair": 2},
     "pair4": {"pair": 4},
     "pair2_aligned": {"pair": 2, "go": 128},
+    "no_epi": {"do_epi": False},
     "no_box": {"do_box": False},
     "no_head": {"do_head": False},
     "no_r": {"do_r": False},
     "no_bgrmu": {"do_b": False, "do_grmu": False},
     "no_a1mul": {"do_a1": False},
     "bare": {"do_box": False, "do_head": False, "do_r": False,
-             "do_b": False, "do_grmu": False, "do_a1": False},
+             "do_b": False, "do_grmu": False, "do_a1": False,
+             "do_epi": False},
 }
 
 
@@ -355,7 +389,6 @@ def check(configs=("full", "aligned_store", "full_dt8", "pair2", "pair4",
     jax.config.update("jax_platforms", "cpu")
     from custereomatching_tpu.ops.pallas_pipeline import (
         _fused_train_bwd_c_impl)
-    from custereomatching_tpu.ops.zncc import box2d
 
     shape = (24, 40, 10, 5)
     Hc, Wc, Dc, Kc = shape
@@ -363,17 +396,13 @@ def check(configs=("full", "aligned_store", "full_dt8", "pair2", "pair4",
     for name in configs:
         cfg = dict(CONFIGS[name])
         cfg.setdefault("hb", 8)
-        fn, data, (camera, projector, maps, cost) = build(
+        fn, data, (camera, projector, am, mask, s, t, gs, gc, cost) = build(
             shape=shape, interpret=True, **cfg)
-        a1, b, grmu = fn(*data)
-        a1, b, grmu = a1[:Hc, :Wc], b[:Hc, :Wc], grmu[:Hc, :Wc]
-        k2 = jnp.asarray(Kc * Kc, camera.dtype)
-        mux = box2d(camera, Kc) / k2
-        got = (a1 - box2d(grmu, Kc) + box2d(b * mux, Kc)
-               - camera * box2d(b, Kc))
+        got = fn(*data)[:Hc, :Wc]
+        conf = jnp.zeros_like(am)
         want = _fused_train_bwd_c_impl(
-            camera, projector, maps, cost, Dc, Kc, EPS, BETA,
-            block_rows=cfg["hb"], interpret=True)
+            camera, projector, (am, mask, conf, s, t, gs, gc), cost,
+            Dc, Kc, EPS, BETA, block_rows=cfg["hb"], interpret=True)
         err = float(jnp.max(jnp.abs(got - want)))
         rel = err / (float(jnp.max(jnp.abs(want))) + 1e-30)
         ok = rel < 1e-5
