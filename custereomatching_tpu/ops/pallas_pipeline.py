@@ -423,15 +423,28 @@ Returns:
 # are SIX [H, W] maps (~2 MB each) instead of a volume.
 
 
-def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
-                      a1_ref, b_ref, grmu_ref,
-                      cam_vmem, proj_vmem, maps_vmem,
+def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
+                      s_hbm, t_hbm, gs_hbm, gc_hbm,
+                      grad_ref,
+                      cam_vmem, proj_vmem, gr_scr,
+                      am_b, is_b, tos_b, gs_b, gc_b, m_b, mk_b,
                       sx_scr, ex2_scr, sy_scr, ey2_scr,
                       a1_scr, b_scr, grmu_scr, sems,
                       *, H: int, W: int, D: int, k: int, eps: float,
-                      beta: float, hb: int, dt: int,
+                      beta: float, unnormalized: bool, hb: int, dt: int,
                       wo: int, woe: int, wcc: int, pw: int, syw: int,
                       lp: int, maps_rows: int, n_last: int):
+    """Volume-free fused backward: the cost plane is recomputed from the
+    images per tile (``prod`` + its box pass), so the only residuals are
+    the two bands and the head maps.  Same fused-glue structure as
+    :func:`_fused_bwd_c_kernel`: raw residual maps in, head derivations
+    and out-of-image masking once per row tile, ``b``/``grmu``
+    accumulated at the extended row extent, and the gradient-combine box
+    filters run in-kernel so the kernel emits ONE finished gradient map.
+    All per-plane elementwise work runs at the aligned center width
+    ``wo`` — g_d is identically zero outside the image (the residual
+    maps are), so ``gr_scr``'s zero margins serve the box's ±p column
+    reach and the cross-term box pass prices center columns only."""
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -447,62 +460,71 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
             cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
         proj_dma = pltpu.make_async_copy(
             proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
-        # Residual maps for ext rows [r0−p, r0+hb+p): clamp at the edges
-        # (maps_hbm is [maps_rows, 8, wo], dim 0 untiled → any offset).
-        s0 = jnp.clip(r0 - p, 0, maps_rows - hbe)
-        maps_dma = pltpu.make_async_copy(
-            maps_hbm.at[pl.ds(s0, hbe), :, :],
-            maps_vmem.at[pl.ds(p, hbe)], sems.at[2])
+        # Residual maps for ext rows [r0−p, r0+hb+p): the clamp
+        # correction is folded into the DMA DESTINATION offset
+        # (o = p − δ ∈ [0, 2p]) so every subsequent read is a STATIC
+        # row slice at offset p.
+        s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
+        o_m = p - ((r0 - p) - s0m)
+        srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
+        dsts = [am_b, is_b, tos_b, gs_b, gc_b, mk_b]
+        if not unnormalized:
+            srcs.append(conf_hbm)
+            dsts.append(m_b)
+        copies = [pltpu.make_async_copy(
+            src.at[pl.ds(s0m, hbe)], dst.at[pl.ds(o_m, hbe)],
+            sems.at[2 + i]) for i, (src, dst) in enumerate(zip(srcs, dsts))]
         cam_dma.start()
         proj_dma.start()
-        maps_dma.start()
+        for cp in copies:
+            cp.start()
         cam_dma.wait()
         proj_dma.wait()
-        maps_dma.wait()
+        for cp in copies:
+            cp.wait()
 
         cam = cam_vmem[:, :]
         sx = _box_from_band(cam, k, hbe, woe)
-        # Raw Σx; sy stored pre-scaled by 1/k² (μy) — pairing sx·μy in
-        # the cross term saves a multiply per plane in grmu.
-        sx_scr[:, :] = sx
-        ex2_scr[:, :] = _box_from_band(cam * cam, k, hbe, woe) \
-            - sx * sx * inv_k2
+        # Raw Σx at center columns (the cross term pairs raw Σx with the
+        # pre-scaled μy, saving a multiply per plane).
+        sx_scr[:, :] = sx[:, p:p + wo]
+        ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
+        ex2_scr[:, :] = ex2[:, p:p + wo]
         proj = proj_vmem[:, :]
         sy = _box_from_band(proj, k, hbe, syw)
         sy_scr[:, :] = sy * inv_k2
         ey2_scr[:, :] = (_box_from_band(proj * proj, k, hbe, syw)
                          - sy * sy * inv_k2)
 
-        a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
-        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
-        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
-
-    band = cam_vmem[:, :]
-    sx_raw = sx_scr[:, :]
-    ex2 = ex2_scr[:, :]
-
-    r0 = h_idx * hb
-    s0 = jnp.clip(r0 - p, 0, maps_rows - hbe)
-    delta = (r0 - p) - s0
-
-    def map_ext(i):
-        """Residual map i at ext coordinates [hbe, woe] (zero outside the
-        image), from the clamped staging buffer."""
-        raw = maps_vmem[pl.ds(delta + p, hbe), i, :]       # [hbe, wo]
-        trow = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
+        # Head derivations + out-of-image masking, ONCE per row tile
+        # (previously re-derived by map_ext at every grid step: 6 maps ×
+        # n_d re-selects + concats).  Rows the clamped DMA left stale
+        # hold garbage; every transform routes through the same
+        # where(ok, ·, 0) select, so garbage never escapes.
+        trow2 = lax.broadcasted_iota(jnp.int32, (hbe, wo), 0) + (r0 - p)
         tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
         ok = jnp.logical_and(
-            jnp.logical_and(trow >= 0, trow < H), tcol < W)
-        raw = jnp.where(ok, raw, 0.0)
-        zcol = jnp.zeros((hbe, p), raw.dtype)
-        return jnp.concatenate([zcol, raw, zcol], axis=1)   # [hbe, woe]
+            jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
+        csl = pl.ds(p, hbe)
+        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
+        is_b[csl] = inv_s
+        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
+        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
+        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
+        if not unnormalized:
+            m_b[csl] = jnp.where(ok, m_b[csl], 0.0)
 
-    m_e = map_ext(0)
-    inv_s_e = map_ext(1)       # 1/s, precomputed (zero outside image)
-    tos_e = map_ext(2)         # t/s, precomputed
-    am_e = map_ext(3)
-    gs_e = map_ext(4)          # ĝ_soft · mask · β
-    gc_e = map_ext(5)          # ĝ_conf
+        a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
+        b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((hbe, wo), grmu_scr.dtype)
+        gr_scr[:, 0:p] = jnp.zeros((hbe, p), gr_scr.dtype)
+        gr_scr[:, p + wo:woe] = jnp.zeros((hbe, woe - wo - p),
+                                          gr_scr.dtype)
+
+    band = cam_vmem[:, :]
+    sx_raw = sx_scr[:, :]                           # [hbe, wo]
+    ex2 = ex2_scr[:, :]                             # [hbe, wo]
 
     d_base = d_idx * dt
     shift = lp - (d_base + dt - 1)
@@ -510,39 +532,45 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
     syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
+    csl = pl.ds(p, hbe)
+    inv_s_e = is_b[csl]
+    tos_e = tos_b[csl]
+    am_e = am_b[csl]
+    gs_e = gs_b[csl]        # ĝ_soft · mask · β
+    gc_e = gc_b[csl]        # ĝ_conf
+    m_e = None if unnormalized else m_b[csl]
+
     def plane(j):
         c0 = dt - 1 - j
         pslice = psh[:, c0:c0 + wcc]
         prod = band * pslice
-        sxy = _box_from_band(prod, k, hbe, woe)
-        muy_sh = syb[:, c0:c0 + woe]               # μy (pre-scaled)
-        ey2_sh = ey2b[:, c0:c0 + woe]
-        exy = sxy - sx_raw * muy_sh
-        r = lax.rsqrt(ex2 * ey2_sh + eps)
-        c = (exy + eps) * r                        # the cost plane, ext
+        sxy_c = _box_from_band(prod, k, hbe, wo, col_start=p)
+        muy_c = syb[:, c0 + p:c0 + p + wo]         # μy (pre-scaled)
+        ey2c = ey2b[:, c0 + p:c0 + p + wo]
+        r = lax.rsqrt(ex2 * ey2c + eps)
+        c_t = (sxy_c - sx_raw * muy_c + eps) * r   # the cost plane
 
         d_f = jnp.float32(0) + (d_base + j)        # traced scalar → f32
-        # Head cotangent for this plane.  Map slot 0 (m_e) is the max the
-        # forward normalized against — zero when the unnormalized head
-        # produced the residuals.  Padded planes are never iterated, so
-        # no validity masking exists.  The select guards out-of-image
-        # positions in NORMALIZED mode, where m_e = 0 but the recomputed
-        # c can approach 1: exp(β·c) overflows and Inf·0 = NaN would
-        # poison the box filter (select keeps the dead branch's Inf out).
-        w = jnp.where(inv_s_e > 0.0,
-                      jnp.exp(beta * (c - m_e)), 0.0) * inv_s_e
+        # Head cotangent for this plane.  m_e is the max the forward
+        # normalized against (absent for the unnormalized head).  The
+        # select guards out-of-image positions in NORMALIZED mode, where
+        # m_e = 0 but the recomputed c can approach 1: exp(β·c)
+        # overflows and Inf·0 = NaN would poison the box filter.
+        arg = beta * c_t if unnormalized else beta * (c_t - m_e)
+        w = jnp.where(inv_s_e > 0.0, jnp.exp(arg), 0.0) * inv_s_e
         g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
 
         gr = g_d * r
-        boxgr = _box_from_band(gr, k, hb, wo)
+        gr_scr[:, p:p + wo] = gr
+        boxgr = _box_from_band(gr_scr[:, :], k, hb, wo)
         a1_scr[:, :] = a1_scr[:, :] + boxgr * pslice[2 * p:2 * p + hb,
                                                      2 * p:2 * p + wo]
-        c_sl = (slice(p, p + hb), slice(p, p + wo))
-        r_c = r[c_sl]
+        # b / grmu accumulate at the EXTENDED row extent: the epilogue's
+        # box filters then need no cross-tile halo (rows outside the
+        # image contribute exact zeros — g_d is masked to zero there).
         # n·r³ = c·r² (c already in hand for the head cotangent).
-        b_scr[:, :] = b_scr[:, :] + (g_d[c_sl] * c[c_sl]
-                                     * (r_c * r_c) * ey2_sh[c_sl])
-        grmu_scr[:, :] = grmu_scr[:, :] + gr[c_sl] * muy_sh[c_sl]
+        b_scr[:, :] = b_scr[:, :] + (g_d * c_t * (r * r) * ey2c)
+        grmu_scr[:, :] = grmu_scr[:, :] + gr * muy_c
 
     if n_last == dt:
         for j in range(dt):
@@ -560,17 +588,39 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, maps_hbm,
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
-        a1_ref[:, :] = a1_scr[:, :]
-        b_ref[:, :] = b_scr[:, :]
-        grmu_ref[:, :] = grmu_scr[:, :]
+        # grad = A1 − box(grmu) + box(b·μx) − camera · box(b), evaluated
+        # per tile on the extended-row accumulators (the old XLA
+        # epilogue).  gr_scr's zero column margins serve the ±p column
+        # reach of each box; it is staged three times sequentially.
+        gr_scr[:, p:p + wo] = grmu_scr[:, :]
+        t2 = _box_from_band(gr_scr[:, :], k, hb, wo)
+        gr_scr[:, p:p + wo] = b_scr[:, :] * (sx_scr[:, :] * inv_k2)
+        t3 = _box_from_band(gr_scr[:, :], k, hb, wo)
+        gr_scr[:, p:p + wo] = b_scr[:, :]
+        t4 = _box_from_band(gr_scr[:, :], k, hb, wo)
+        cam_c = cam_vmem[2 * p:2 * p + hb, 2 * p:2 * p + wo]
+        grad_ref[:, :] = (a1_scr[:, :] - t2) + (t3 - cam_c * t4)
 
 
-def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
-                          block_rows, block_disparities, interpret):
-    """Run the fused backward kernel + the tiny XLA epilogue."""
+def _fused_train_bwd_impl(camera, projector, residual_maps, D, k, eps,
+                          beta, block_rows, block_disparities, interpret):
+    """Driver for the volume-free fused backward.
+
+    ``residual_maps`` is the 7-tuple ``(am, mask, conf, s, t, gsoft_pad,
+    gconf_pad)`` of raw ``[h_pad, wo]`` forward residuals and zero-padded
+    cotangents; all head derivations, masking, and the gradient-combine
+    box filters run inside the kernel (no XLA stack/epilogue — the
+    kernel returns the finished padded gradient, cropped here)."""
     H, W = camera.shape
     p = k // 2
     hb = _round_up(int(block_rows), 8)
+    # No row tile may straddle the residual maps' padded extent (the
+    # forward may have tiled with a different block height): the clamped
+    # DMA destination offset stays in [0, 2p] only while the backward's
+    # padded extent fits inside maps_rows.
+    mr = residual_maps[0].shape[0]
+    while hb > 8 and -(-H // hb) * hb > max(mr, H):
+        hb -= 8
     hbe = hb + 2 * p
     n_d = -(-(D + 1) // int(block_disparities))
     dt = _round_up(-(-(D + 1) // n_d), 8)
@@ -595,39 +645,48 @@ def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
     proj_p = jnp.zeros((src_rows, pw), projector.dtype)
     proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
 
-    maps_rows = maps_stack.shape[0]
+    maps = list(residual_maps)
+    maps_rows = maps[0].shape[0]
     if maps_rows < hbe:
-        maps_stack = jnp.pad(maps_stack,
-                             ((0, hbe - maps_rows), (0, 0), (0, 0)))
+        maps = [jnp.pad(m, ((0, hbe - maps_rows), (0, 0))) for m in maps]
         maps_rows = hbe
 
+    unnormalized = _unnormalized_head(beta, D)
     kernel = functools.partial(
         _fused_bwd_kernel, H=H, W=W, D=D, k=k, eps=float(eps),
-        beta=float(beta), hb=hb, dt=dt, wo=wo, woe=woe, wcc=wcc, pw=pw,
+        beta=float(beta), unnormalized=unnormalized, hb=hb, dt=dt,
+        wo=wo, woe=woe, wcc=wcc, pw=pw,
         syw=syw, lp=lp, maps_rows=maps_rows,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)))
 
-    map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
-    a1, b, grmu = pl.pallas_call(
+    am, mask, conf, s, t, gsoft_p, gconf_p = maps
+    grad = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=(map_spec, map_spec, map_spec),
-        out_shape=(map_shape, map_shape, map_shape),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9,
+        out_specs=map_spec,
+        out_shape=jax.ShapeDtypeStruct((h_pad, wo), camera.dtype),
         scratch_shapes=[
-            pltpu.VMEM((band_rows, wcc), camera.dtype),
-            pltpu.VMEM((band_rows, pw), camera.dtype),
-            pltpu.VMEM((hbe + 2 * p, 8, wo), camera.dtype),   # maps staging
-            pltpu.VMEM((hbe, woe), camera.dtype),
-            pltpu.VMEM((hbe, woe), camera.dtype),
-            pltpu.VMEM((hbe, syw), camera.dtype),
-            pltpu.VMEM((hbe, syw), camera.dtype),
-            pltpu.VMEM((hb, wo), camera.dtype),
-            pltpu.VMEM((hb, wo), camera.dtype),
-            pltpu.VMEM((hb, wo), camera.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera
+            pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
+            pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # am
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # 1/s
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # t/s
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝs·mask·β
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝc
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # m (norm.)
+            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # mask stage
+            pltpu.VMEM((hbe, wo), camera.dtype),              # Σx (center)
+            pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
+            pltpu.VMEM((hbe, syw), camera.dtype),             # μy
+            pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
+            pltpu.VMEM((hb, wo), camera.dtype),               # A1
+            pltpu.VMEM((hbe, wo), camera.dtype),              # B (ext)
+            pltpu.VMEM((hbe, wo), camera.dtype),              # GRMU (ext)
+            pltpu.SemaphoreType.DMA((9,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 4 * k * H * W * (D + 1),
@@ -635,16 +694,9 @@ def _fused_train_bwd_impl(camera, projector, maps_stack, D, k, eps, beta,
             transcendentals=2 * H * W * (D + 1),
         ),
         interpret=interpret,
-    )(cam_p, proj_p, maps_stack)
+    )(cam_p, proj_p, am, mask, conf, s, t, gsoft_p, gconf_p)
 
-    from custereomatching_tpu.ops.zncc import box2d
-
-    a1 = a1[:H, :W]
-    b = b[:H, :W]
-    grmu = grmu[:H, :W]
-    k2 = jnp.asarray(k * k, camera.dtype)
-    mux = box2d(camera, k) / k2
-    return a1 - box2d(grmu, k) + box2d(b * mux, k) - camera * box2d(b, k)
+    return grad[:H, :W]
 
 
 def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
@@ -990,24 +1042,17 @@ def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
     H, W = camera.shape
     h_pad, wo = am.shape
     # Hard disparity and mask are piecewise-constant (zero grad a.e.);
-    # soft and confidence cotangents flow.  Premultiply gs by mask·β here
-    # so the kernel's per-plane work stays minimal.
-    gs = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
-        g.soft_disparity * beta)
-    gs = gs * mask
-    gc = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(g.confidence)
-    inv_s = 1.0 / s
-    tos = t * inv_s
-    # Slot 0 is the max the softmax weights were normalized against:
-    # zero for the unnormalized head (s = Σe^{βc}), conf otherwise.
-    m_for_w = (jnp.zeros_like(conf)
-               if _unnormalized_head(beta, num_disparities) else conf)
-    maps_stack = jnp.stack(
-        [m_for_w, inv_s, tos, am, gs, gc,
-         jnp.zeros_like(conf), jnp.zeros_like(conf)], axis=1)
+    # soft and confidence cotangents flow.  The only XLA prep is
+    # zero-padding the two cotangents to the padded map extent — head
+    # derivations (1/s, t/s, β·mask premul), masking, and the
+    # gradient-combine boxes all run inside the kernel.
+    gsoft_p = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
+        g.soft_disparity)
+    gconf_p = jnp.zeros((h_pad, wo), camera.dtype).at[:H, :W].set(
+        g.confidence)
     cam_grad = _fused_train_bwd_impl(
-        camera, projector, maps_stack, num_disparities, kernel_size,
-        epsilon, beta, 48, 8, interpret)
+        camera, projector, (am, mask, conf, s, t, gsoft_p, gconf_p),
+        num_disparities, kernel_size, epsilon, beta, 48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 

@@ -576,8 +576,13 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
 
 def fused_backward_cost(H: int, W: int, D: int, k: int,
                         hb: int = 48, dt: int = 8) -> OpCount:
-    """Op/byte counts of the fused trainable backward
-    (ops/pallas_pipeline.py::_fused_bwd_kernel)."""
+    """Op/byte counts of the volume-free fused trainable backward
+    (ops/pallas_pipeline.py::_fused_bwd_kernel): per plane the
+    cross-term recompute (prod + its box pass, center columns), head
+    cotangent, one box pass, three accumulations (b and grmu at the
+    extended row extent), plus the per-tile head prep and the fused
+    gradient-combine epilogue (raw residual maps in, one finished
+    gradient map out — no XLA glue)."""
     p = k // 2
     hb = _round_up(hb, 8)
     hbe = hb + 2 * p
@@ -595,27 +600,33 @@ def fused_backward_cost(H: int, W: int, D: int, k: int,
 
     per_plane = OpCount()
     per_plane = per_plane + OpCount(lshift=band_rows * wcc)   # prod
-    per_plane = per_plane + _box_ops(k, band_rows, hbe, wcc, woe)  # sxy
-    per_plane = per_plane + OpCount(lshift=2 * hbe * woe)     # exy, ex2·ey2b
-    per_plane = per_plane + OpCount(rsqrt=hbe * woe)
-    per_plane = per_plane + OpCount(madd=hbe * woe)           # c
-    # Head cotangent at ext extent: exp + w·inv_s + g_d combine.
-    per_plane = per_plane + OpCount(exp=hbe * woe, madd=4 * hbe * woe)
-    per_plane = per_plane + OpCount(madd=hbe * woe)           # gr
+    per_plane = per_plane + _box_ops(k, band_rows, hbe, wcc, wo)   # sxy
+    per_plane = per_plane + OpCount(lshift=2 * hbe * wo)      # exy, ex2·ey2b
+    per_plane = per_plane + OpCount(rsqrt=hbe * wo)
+    per_plane = per_plane + OpCount(madd=hbe * wo)            # c
+    # Head cotangent: exp + w·inv_s + g_d combine.
+    per_plane = per_plane + OpCount(exp=hbe * wo, madd=4 * hbe * wo)
+    per_plane = per_plane + OpCount(madd=2 * hbe * wo)        # gr + store
     per_plane = per_plane + _box_ops(k, hbe, hb, woe, wo)     # box(gr)
     per_plane = per_plane + OpCount(lshift=2 * hb * wo)       # a1 += ·psh
-    per_plane = per_plane + OpCount(madd=5 * hb * wo)         # b, grmu accum
+    per_plane = per_plane + OpCount(madd=4 * hbe * wo)        # B term (ext)
+    per_plane = per_plane + OpCount(lshift=2 * hbe * wo)      # grmu (ext)
 
     tile = per_plane.scaled(D + 1)
     tile = tile + _stats_ops(k, band_rows, hbe, wcc, woe, pw, syw)
-    # map_ext staging: 6 maps masked + concatenated at tile start.
-    tile = tile + OpCount(madd=6 * 3 * hbe * wo)
+    # Per-tile head prep (1/s, t/s, β·mask premul, out-of-image selects —
+    # fused in; previously a per-grid-STEP map_ext re-masking).
+    tile = tile + OpCount(madd=10 * hbe * wo, rsqrt=hbe * wo)
     tile = tile + _roll_ops(band_rows, pw, hbe, syw).scaled(n_d)
+    # Fused gradient-combine epilogue: three staged boxes + combine.
+    tile = tile + _box_ops(k, hbe, hb, woe, wo).scaled(3)
+    tile = tile + OpCount(madd=4 * hbe * wo + 3 * hb * wo,
+                          lshift=hb * wo)
 
     total = tile.scaled(n_h)
     total.bytes_r = (n_h * band_rows * (wcc + pw) * 4
-                     + n_h * hbe * 8 * wo * 4)               # maps stack DMA
-    total.bytes_w = 3 * n_h * hb * wo * 4                    # A1/B/GRMU out
+                     + 6 * n_h * hbe * wo * 4)               # residual maps
+    total.bytes_w = n_h * hb * wo * 4                        # one grad map
     total.bytes = total.bytes_r + total.bytes_w
     return total
 

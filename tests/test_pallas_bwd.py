@@ -251,3 +251,35 @@ def test_model_grad_projector_uses_pallas_kernels():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_trainable_volume_free_tile_mismatch():
+    """The volume-free forward tiles its residual maps at 32 rows while
+    the backward defaults to 48-row tiles; at heights where the two
+    padded extents differ (H=56: maps padded to 64, a 48-row backward
+    would pad to 96) the backward must shrink its tile rather than let
+    the clamped residual-map DMA run past the staging buffer (the
+    pre-glue-fusion kernel read out of bounds here)."""
+    H, W, D, K = 56, 200, 24, 11
+    rng = np.random.default_rng(11)
+    cam, proj = _pair(rng, H, W)
+    target = jnp.asarray(rng.random((H, W), dtype=np.float32)) * 5
+
+    def loss_free(c):
+        r = stereo_pipeline_trainable(c, proj, D, K, 1e-8, 50.0, 0.6,
+                                      True, save_volume=False)
+        return (jnp.mean((r.soft_disparity - target) ** 2)
+                + 0.1 * jnp.mean(r.confidence))
+
+    def loss_xla(c):
+        r = extract_disparity(stereo_matching(c, proj, D, K),
+                              num_disparities=D)
+        return (jnp.mean((r.soft_disparity - target) ** 2)
+                + 0.1 * jnp.mean(r.confidence))
+
+    v1, g1 = jax.value_and_grad(loss_free)(cam)
+    v2, g2 = jax.value_and_grad(loss_xla)(cam)
+    assert np.isfinite(np.asarray(g1)).all()
+    assert abs(float(v1) - float(v2)) < 1e-4
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-6)
