@@ -1016,16 +1016,16 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
     return grad[:H, :W]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _fused_train(camera, projector, num_disparities, kernel_size, epsilon,
-                 beta, threshold, interpret):
+                 beta, threshold, interpret, bwd_block_rows):
     return _pipeline_forward(camera, projector, num_disparities,
                              kernel_size, epsilon, beta, threshold,
                              32, 40, interpret)
 
 
 def _fused_train_fwd(camera, projector, num_disparities, kernel_size,
-                     epsilon, beta, threshold, interpret):
+                     epsilon, beta, threshold, interpret, bwd_block_rows):
     H, W = camera.shape
     am, soft, mask, conf, s, t = _pipeline_forward_full(
         camera, projector, num_disparities, kernel_size, epsilon, beta,
@@ -1037,7 +1037,7 @@ def _fused_train_fwd(camera, projector, num_disparities, kernel_size,
 
 
 def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
-                     interpret, residuals, g):
+                     interpret, bwd_block_rows, residuals, g):
     camera, projector, am, mask, conf, s, t = residuals
     H, W = camera.shape
     h_pad, wo = am.shape
@@ -1052,23 +1052,24 @@ def _fused_train_bwd(num_disparities, kernel_size, epsilon, beta, threshold,
         g.confidence)
     cam_grad = _fused_train_bwd_impl(
         camera, projector, (am, mask, conf, s, t, gsoft_p, gconf_p),
-        num_disparities, kernel_size, epsilon, beta, 48, 8, interpret)
+        num_disparities, kernel_size, epsilon, beta,
+        bwd_block_rows or 48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
 _fused_train.defvjp(_fused_train_fwd, _fused_train_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _fused_train_v(camera, projector, num_disparities, kernel_size,
-                   epsilon, beta, threshold, interpret):
+                   epsilon, beta, threshold, interpret, bwd_block_rows):
     return _pipeline_forward(camera, projector, num_disparities,
                              kernel_size, epsilon, beta, threshold,
                              48, 8, interpret)
 
 
 def _fused_train_v_fwd(camera, projector, num_disparities, kernel_size,
-                       epsilon, beta, threshold, interpret):
+                       epsilon, beta, threshold, interpret, bwd_block_rows):
     H, W = camera.shape
     am, soft, mask, conf, s, t, cv = _pipeline_forward_full(
         camera, projector, num_disparities, kernel_size, epsilon, beta,
@@ -1080,7 +1081,7 @@ def _fused_train_v_fwd(camera, projector, num_disparities, kernel_size,
 
 
 def _fused_train_v_bwd(num_disparities, kernel_size, epsilon, beta,
-                       threshold, interpret, residuals, g):
+                       threshold, interpret, bwd_block_rows, residuals, g):
     camera, projector, am, mask, conf, s, t, cv = residuals
     h_pad, wo = am.shape
     H, W = camera.shape
@@ -1093,14 +1094,15 @@ def _fused_train_v_bwd(num_disparities, kernel_size, epsilon, beta,
         g.confidence)
     cam_grad = _fused_train_bwd_c_impl(
         camera, projector, (am, mask, conf, s, t, gsoft_p, gconf_p), cv,
-        num_disparities, kernel_size, epsilon, beta, 40, interpret)
+        num_disparities, kernel_size, epsilon, beta,
+        bwd_block_rows or 40, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
 _fused_train_v.defvjp(_fused_train_v_fwd, _fused_train_v_bwd)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def stereo_pipeline_trainable(
     camera: jax.Array,
     projector: jax.Array,
@@ -1111,6 +1113,7 @@ def stereo_pipeline_trainable(
     threshold: float = 0.6,
     interpret: bool = False,
     save_volume: bool = True,
+    bwd_block_rows: int = 0,
 ) -> PipelineMaps:
     """Differentiable fused pipeline: pair → disparity maps; the
     cost-volume COTANGENT never exists in HBM in either mode.
@@ -1129,10 +1132,15 @@ def stereo_pipeline_trainable(
     backward recomputes each cost plane from the images; residuals are
     six per-pixel maps.  Use it when HBM is the constraint (e.g. large
     batches of concurrent frames).
+
+    ``bwd_block_rows`` overrides the backward kernel's row tile (0 =
+    the KITTI-tuned default: 40 with the volume residual, 48 without);
+    see :func:`..tuning.autotune_trainable_bwd_blocks`.
     """
     if save_volume:
         return _fused_train_v(camera, projector, num_disparities,
                               kernel_size, epsilon, beta, threshold,
-                              interpret)
+                              interpret, bwd_block_rows)
     return _fused_train(camera, projector, num_disparities, kernel_size,
-                        epsilon, beta, threshold, interpret)
+                        epsilon, beta, threshold, interpret,
+                        bwd_block_rows)

@@ -126,19 +126,79 @@ def _volume_vmem(H, W, D, k, hb, dt) -> float:
     return 4.0 * (scratch + outs + stack)
 
 
+def _trainable_bwd_vmem(H, W, D, k, hb, dt) -> float:
+    """VMEM estimate of the cost-residual fused backward at (hb, dt),
+    mirroring _fused_train_bwd_c_impl's scratch geometry."""
+    p = k // 2
+    hb = _round_up(hb, 8)
+    hbe = hb + 2 * p
+    n_d = -(-(D + 1) // dt)
+    wo = _round_up(max(W, 128), 128)
+    woe = wo + 2 * p
+    wcc = _round_up(woe + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_d * dt), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+    band_rows = _round_up(hbe + 2 * p, 8)
+    scratch = (band_rows * (wcc + pw)            # bands
+               + 2 * (hbe + 2 * p) * dt * wo     # cost tile, 2 slots
+               + hbe * woe                       # gr margins
+               + 7 * (hbe + 2 * p) * wo          # residual-map staging
+               + 2 * hbe * wo                    # μx / ex2
+               + 2 * hbe * syw                   # μy / ey2
+               + hb * wo + 2 * hbe * wo)         # A1 / B / GRMU
+    stack = dt * 1.2 * hbe * wo
+    return 4.0 * (scratch + stack)
+
+
+def _trainable_bwd_dt(num_disparities: int) -> int:
+    """The disparity tile the cost-residual backward will actually use:
+    the volume-mode forward (48×8 blocks) declares its plane count
+    rounded to 16 when the never-written tail fits the backward's
+    skipped last tile; the backward then picks the largest of {8, 16}
+    dividing it (pallas_pipeline.py::_fused_train_bwd_c_impl)."""
+    n_d8 = -(-(num_disparities + 1) // 8)
+    vol_planes = n_d8 * 8
+    decl = _round_up(vol_planes, 16)
+    if decl > vol_planes and decl - (num_disparities + 1) < 16:
+        vol_planes = decl
+    return 16 if vol_planes % 16 == 0 else 8
+
+
 def candidate_blocks(kind: str, height: int, width: int,
                      num_disparities: int, kernel_size: int,
-                     budget: float = _VMEM_BUDGET,
+                     budget: Optional[float] = None,
                      ) -> List[Tuple[int, int]]:
     """Feasible (block_rows, block_disparities) candidates for ``kind``
-    (``"pipeline"`` or ``"volume"``), derived from shape arithmetic and
-    filtered by the kernel's VMEM estimate."""
-    est = _pipeline_vmem if kind == "pipeline" else _volume_vmem
+    (``"pipeline"``, ``"volume"`` or ``"trainable_bwd"``), derived from
+    shape arithmetic and filtered by the kernel's VMEM estimate.
+
+    For ``"trainable_bwd"`` only block_rows is free — the disparity
+    tile is pinned by the residual volume's declared plane count — and
+    block_rows must not make the backward's padded row extent outgrow
+    the forward's (48-row tiles), which the driver would clamp away.
+    Its budget is wider than the forwards': the KITTI default (the
+    driver clamps the shipped 40 to hb=32; dt=16) prices at ~19 MB by
+    this estimate and compiles on a v5e (the 13.5 MB figure is the
+    forwards' calibrated threshold, not a hardware limit); genuinely
+    infeasible candidates are pruned by the compile-failure skip in the
+    measurement loop.
+    """
+    est = {"pipeline": _pipeline_vmem, "volume": _volume_vmem,
+           "trainable_bwd": _trainable_bwd_vmem}[kind]
+    if budget is None:
+        budget = 30e6 if kind == "trainable_bwd" else _VMEM_BUDGET
     D = num_disparities
     hbs = [hb for hb in (16, 24, 32, 40, 48, 64, 80, 96)
            if hb <= max(_round_up(height, 8), 16)]
-    dts = sorted({min(_round_up(D + 1, 8), dtv)
-                  for dtv in (8, 16, 24, 32, 40, 48, 64)})
+    if kind == "trainable_bwd":
+        fwd_pad = _round_up(height, 48)
+        hbs = [hb for hb in (8,) + tuple(hbs)
+               if -(-height // hb) * hb <= max(fwd_pad, height)]
+        dts = [_trainable_bwd_dt(D)]
+    else:
+        dts = sorted({min(_round_up(D + 1, 8), dtv)
+                      for dtv in (8, 16, 24, 32, 40, 48, 64)})
     out = []
     for hb in hbs:
         for dt in dts:
@@ -162,8 +222,13 @@ def _rank_candidates(kind: str, cands, height, width, D, k):
         if rates is None:
             return list(cands)
         hbm = device_specs()["hbm_bw"]
-        cost_fn = (fused_forward_cost if kind == "pipeline"
-                   else volume_forward_cost)
+        if kind == "trainable_bwd":
+            from custereomatching_tpu.utils.kernel_model import (
+                fused_backward_c_cost)
+            cost_fn = fused_backward_c_cost
+        else:
+            cost_fn = (fused_forward_cost if kind == "pipeline"
+                       else volume_forward_cost)
 
         def bound(c):
             t = cost_fn(height, width, D, k, c[0], c[1]).time(rates, hbm)
@@ -295,6 +360,58 @@ def autotune_volume_blocks(
         return fn, (cam, proj)
 
     return _tune(key, cands, build, measure_top)
+
+
+def autotune_trainable_bwd_blocks(
+    height: int,
+    width: int,
+    num_disparities: int,
+    kernel_size: int = 15,
+    candidates: Optional[Sequence[Tuple[int, int]]] = None,
+    interpret: bool = False,
+    measure_top: int = 5,
+) -> int:
+    """Best ``block_rows`` for the cost-residual trainable backward at
+    this shape (the disparity tile is pinned by the residual volume's
+    plane count).  Measures the backward alone on residuals produced by
+    one live forward; pass the result through
+    ``stereo_pipeline_trainable(..., bwd_block_rows=...)``.  Cached
+    in-process and on disk."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        _fused_train_bwd_c_impl,
+        _pipeline_forward_full,
+    )
+
+    cands = (list(candidates) if candidates else
+             _rank_candidates("trainable_bwd",
+                              candidate_blocks("trainable_bwd", height,
+                                               width, num_disparities,
+                                               kernel_size),
+                              height, width, num_disparities, kernel_size))
+    key = ("trainable_bwd", height, width, num_disparities, kernel_size,
+           interpret, tuple(cands[:measure_top]))
+    if key in _CACHE:
+        return _CACHE[key][0]
+    rng = np.random.default_rng(0)
+    cam = jnp.asarray(rng.random((height, width), dtype=np.float32))
+    proj = jnp.asarray(rng.random((height, width), dtype=np.float32))
+    am, _, mask, conf, s, t, cv = _pipeline_forward_full(
+        cam, proj, num_disparities, kernel_size, 1e-8, 50.0, 0.6,
+        48, 8, interpret, write_volume=True)
+    h_pad, wo = am.shape
+    gsoft = jnp.ones((h_pad, wo), cam.dtype)
+    gconf = jnp.zeros((h_pad, wo), cam.dtype)
+
+    def build(hb, dt):
+        fn = jax.jit(lambda c, p, *r: _fused_train_bwd_c_impl(
+            c, p, r[:7], r[7], num_disparities, kernel_size, 1e-8, 50.0,
+            hb, interpret))
+        return fn, (cam, proj, am, mask, conf, s, t, gsoft, gconf, cv)
+
+    return _tune(key, cands, build, measure_top)[0]
 
 
 # Back-compat names for the round-2 literal candidate sets.

@@ -283,3 +283,25 @@ def test_trainable_volume_free_tile_mismatch():
     assert abs(float(v1) - float(v2)) < 1e-4
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("save_volume", [True, False])
+def test_trainable_bwd_block_rows_override(save_volume):
+    """bwd_block_rows only retiles the backward: gradients are identical
+    (same math, different grid) to the default tiling."""
+    H, W, D, K = 40, 160, 16, 7
+    rng = np.random.default_rng(13)
+    cam, proj = _pair(rng, H, W)
+    target = jnp.asarray(rng.random((H, W), dtype=np.float32)) * 3
+
+    def loss(bb):
+        def f(c):
+            r = stereo_pipeline_trainable(c, proj, D, K, 1e-8, 50.0, 0.6,
+                                          True, save_volume=save_volume,
+                                          bwd_block_rows=bb)
+            return jnp.mean((r.soft_disparity - target) ** 2)
+        return f
+
+    g_def = np.asarray(jax.grad(loss(0))(cam))
+    g_16 = np.asarray(jax.grad(loss(16))(cam))
+    np.testing.assert_allclose(g_def, g_16, rtol=1e-5, atol=1e-7)

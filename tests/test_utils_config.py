@@ -179,6 +179,9 @@ def test_autotune_smoke():
     vb = tuning.autotune_volume_blocks(
         24, 40, 6, 5, candidates=[(8, 8), (16, 8)], interpret=True)
     assert vb in ((8, 8), (16, 8))
+    bb = tuning.autotune_trainable_bwd_blocks(
+        24, 40, 6, 5, candidates=[(8, 8), (16, 8)], interpret=True)
+    assert bb in (8, 16)
 
 
 def test_candidate_blocks_arithmetic():
@@ -198,6 +201,18 @@ def test_candidate_blocks_arithmetic():
             <= tuning._VMEM_BUDGET
     vol = tuning.candidate_blocks("volume", 375, 1242, 192, 15)
     assert (48, 8) in vol
+    # Trainable backward: dt pinned by the volume's declared planes
+    # (192 -> 208 planes, 16-divisible); row tiles never outgrow the
+    # forward's 48-row padded extent.
+    bwd = tuning.candidate_blocks("trainable_bwd", 375, 1242, 192, 15)
+    assert bwd and all(dt == 16 for _, dt in bwd)
+    assert all(-(-375 // hb) * hb <= 384 for hb, _ in bwd)
+    for hb, dt in bwd:
+        assert tuning._trainable_bwd_vmem(375, 1242, 192, 15, hb, dt) \
+            <= 30e6
+    # The effective production default (driver clamps the shipped 40 to
+    # 32 at KITTI height) must never be filtered out.
+    assert (32, 16) in bwd
 
 
 def test_autotune_disk_cache(tmp_path, monkeypatch):
