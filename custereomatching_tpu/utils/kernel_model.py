@@ -523,6 +523,12 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
     residual maps and emits the finished gradient — no XLA glue)."""
     p = k // 2
     hb = _round_up(hb, 8)
+    # Mirror the driver's clamp: no row tile may straddle the residual
+    # volume's padded extent (the training forward tiles 48 rows), so
+    # the shipped hb=40 request actually runs 32 at KITTI height.
+    g_rows = _round_up(H, 48)
+    while hb > 8 and -(-H // hb) * hb > max(g_rows, H):
+        hb -= 8
     hbe = hb + 2 * p
     # Mirrors the training forward's plane declaration: rounded up to a
     # multiple of 16 when the unwritten tail fits the skipped last tile,
@@ -585,6 +591,11 @@ def fused_backward_cost(H: int, W: int, D: int, k: int,
     gradient map out — no XLA glue)."""
     p = k // 2
     hb = _round_up(hb, 8)
+    # Mirror the driver's clamp against the residual maps' padded extent
+    # (the volume-free forward tiles 32 rows).
+    mr = _round_up(H, 32)
+    while hb > 8 and -(-H // hb) * hb > max(mr, H):
+        hb -= 8
     hbe = hb + 2 * p
     n_d = -(-(D + 1) // dt)
     dt = _round_up(-(-(D + 1) // n_d), 8)
@@ -672,6 +683,12 @@ def volume_backward_cost(H: int, W: int, D: int, k: int,
     (ops/pallas_zncc_bwd.py::_bwd_kernel, ``have_c=with_cost``)."""
     p = k // 2
     hb = _round_up(hb, 8)
+    # Mirror _run_bwd's clamp against the padded-HDW cotangent extent
+    # (the volume forward tiles 48 rows): shipped hb=40 runs 32 at
+    # KITTI height.
+    g_rows = _round_up(H, 48)
+    while hb > 8 and -(-H // hb) * hb > max(g_rows, H):
+        hb -= 8
     hbe = hb + 2 * p
     n_planes = _round_up(D + 1, 8)
     dtv = 8
