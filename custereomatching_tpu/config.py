@@ -64,6 +64,9 @@ class StereoConfig:
     # the KITTI-tuned default; use ops.tuning.autotune_pipeline_blocks to
     # pick per-shape tiles on the live device.
     pipeline_blocks: Optional[Tuple[int, int]] = None
+    # Trainable-backward row tile.  None = the KITTI-tuned default; use
+    # ops.tuning.autotune_trainable_bwd_blocks for per-shape values.
+    trainable_bwd_block_rows: Optional[int] = None
 
     def __post_init__(self):
         if self.kernel_size < 1 or self.kernel_size % 2 != 1:
@@ -84,6 +87,11 @@ class StereoConfig:
                     f"pipeline_blocks must be two positive ints, got "
                     f"{self.pipeline_blocks!r}")
             object.__setattr__(self, "pipeline_blocks", pb)
+        bb = self.trainable_bwd_block_rows
+        if bb is not None and (not isinstance(bb, int) or bb <= 0):
+            raise ValueError(
+                f"trainable_bwd_block_rows must be None or a positive "
+                f"int, got {bb!r}")
 
     def resolved_backend(self) -> str:
         """Resolve "auto" to a concrete backend for the current platform."""

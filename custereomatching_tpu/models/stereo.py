@@ -241,7 +241,8 @@ class StereoMatcher:
             def one(cam, proj):
                 return stereo_pipeline_trainable(
                     cam, proj, c.num_disparities, c.kernel_size,
-                    c.epsilon, c.softargmax_beta, c.cost_threshold, interp)
+                    c.epsilon, c.softargmax_beta, c.cost_threshold, interp,
+                    bwd_block_rows=c.trainable_bwd_block_rows or 0)
 
             if camera.shape[0] == 1:
                 maps = one(camera[0], projector[0])

@@ -257,3 +257,33 @@ def test_engine_autotune_per_bucket(monkeypatch):
     np.testing.assert_array_equal(out.disparity, out0.disparity)
     np.testing.assert_allclose(out.soft_disparity, out0.soft_disparity,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_trainable_bwd_block_rows_config():
+    """StereoConfig.trainable_bwd_block_rows reaches the fused trainable
+    path: gradients identical to the default tiling, bad values rejected."""
+    import pytest as _pytest
+
+    from custereomatching_tpu.models import StereoMatcher
+
+    with _pytest.raises(ValueError):
+        StereoConfig(trainable_bwd_block_rows=-8)
+    base = dict(kernel_size=5, num_disparities=6,
+                backend="pallas_interpret")
+    rng = np.random.default_rng(2)
+    cam = jnp.asarray(rng.random((1, 24, 40), dtype=np.float32))
+    proj = jnp.asarray(rng.random((1, 24, 40), dtype=np.float32))
+    tgt = jnp.zeros((1, 24, 40), jnp.float32)
+
+    def grad_for(cfg):
+        m = StereoMatcher(cfg)
+
+        def loss(c):
+            d = m.trainable_disparity_maps(c, proj)
+            return jnp.mean((d.soft_disparity - tgt) ** 2)
+
+        return np.asarray(jax.grad(loss)(cam))
+
+    g_def = grad_for(StereoConfig(**base))
+    g_tuned = grad_for(StereoConfig(**base, trainable_bwd_block_rows=16))
+    np.testing.assert_allclose(g_def, g_tuned, rtol=1e-5, atol=1e-7)
