@@ -84,14 +84,31 @@ def main() -> None:
     ap.add_argument("--mesh", type=str, default=None,
                     help="'DxS' mesh, e.g. 2x4 (needs D*S devices)")
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--autotune", action="store_true",
+                    help="pick per-shape kernel tiles (forward pipeline "
+                         "and trainable backward) on the live device "
+                         "before training; winners persist on disk")
     args = ap.parse_args()
 
     cams, projs, _ = make_video_batch(args.frames, args.height, args.width,
                                       d_min=2.0,
                                       d_max=min(args.disparities * 0.7, 16.0))
+    tuned = {}
+    if args.autotune:
+        from custereomatching_tpu.ops import tuning
+
+        interp = args.backend == "pallas_interpret"
+        tuned["pipeline_blocks"] = tuning.autotune_pipeline_blocks(
+            args.height, args.width, args.disparities, args.kernel_size,
+            interpret=interp)
+        tuned["trainable_bwd_block_rows"] = (
+            tuning.autotune_trainable_bwd_blocks(
+                args.height, args.width, args.disparities,
+                args.kernel_size, interpret=interp))
+        print(f"autotuned tiles: {tuned}")
     config = StereoConfig(kernel_size=args.kernel_size,
                           num_disparities=args.disparities,
-                          backend=args.backend)
+                          backend=args.backend, **tuned)
     model = StereoMatcher(config)
     print(f"backend: {config.resolved_backend()}  "
           f"devices: {len(jax.devices())}")
