@@ -61,6 +61,52 @@ def _unnormalized_head(beta: float, num_disparities: int) -> bool:
     return float(beta) + math.log((d + 1) * max(d, 1)) <= 85.0
 
 
+# The fused backwards run with a raised per-kernel VMEM limit: the
+# compiler's default scoped limit is 16 MB, but their scoped usage —
+# scratch + the Mosaic value stack + any ANY-space inputs the compiler
+# chooses to place in VMEM — measured 17.8 MB at KITTI shape, and a v5e
+# has far more physical VMEM than the default assumes.
+_BWD_VMEM_LIMIT = 64 * 2**20
+# Scratch budget for the disparity-tile choice (dt=16 halves the DMA
+# issues and per-tile rolls of dt=8 but doubles the double-buffered
+# cost tile): keep scratch at half the limit so the value stack and
+# VMEM-placed inputs always fit the other half.
+_BWD_VMEM_BUDGET = 32 * 2**20
+
+
+def bwd_c_disparity_tile(W: int, D: int, k: int, hb: int,
+                         n_planes: int) -> int:
+    """Disparity tile for the cost-residual fused backward.
+
+    The largest candidate whose scratch footprint fits
+    ``_BWD_VMEM_BUDGET``: dt=16 halves the DMA issues and per-tile rolls
+    of dt=8, but its double-buffered cost tile alone is
+    ``2·(hbe+2p)·16·wo`` floats, so the choice must price the actual
+    geometry, not just divisibility.  Shared with the calibrated cost
+    model (utils/kernel_model.py) so pricing follows the driver's
+    actual choice.
+    """
+    p = k // 2
+    hbe = hb + 2 * p
+    wo = _round_up(max(W, 128), 128)
+    woe = wo + 2 * p
+    wcc = _round_up(woe + 2 * p, 128)
+    lp = _round_up(max(D + 1, n_planes), 128)
+    syw = wcc + lp
+    pw = _round_up(syw + 2 * p, 128)
+    for cand in (16, 8):
+        if n_planes % cand:
+            continue
+        scratch = 4 * (_round_up(hbe + 2 * p, 8) * (wcc + pw)
+                       + 2 * (hbe + 2 * p) * cand * wo      # cost, 2 slots
+                       + hbe * woe + 7 * (hbe + 2 * p) * wo
+                       + 2 * hbe * wo + 2 * hbe * syw
+                       + hb * wo + 2 * hbe * wo)
+        if scratch <= _BWD_VMEM_BUDGET:
+            return cand
+    return 8
+
+
 class PipelineMaps(NamedTuple):
     """Outputs of the fused pipeline (all ``[H, W]``)."""
 
@@ -463,7 +509,10 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         # Residual maps for ext rows [r0−p, r0+hb+p): the clamp
         # correction is folded into the DMA DESTINATION offset
         # (o = p − δ ∈ [0, 2p]) so every subsequent read is a STATIC
-        # row slice at offset p.
+        # row slice at offset p.  Maps travel as [rows, 1, wo]: dim 0 of
+        # a ≥3D memref is untiled, so the dynamic row offsets (s0m, o_m
+        # are not multiples of 8) stay legal — a 2D copy would trip
+        # Mosaic's 8-aligned sublane-slice rule.
         s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
         o_m = p - ((r0 - p) - s0m)
         srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
@@ -506,14 +555,15 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         ok = jnp.logical_and(
             jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
         csl = pl.ds(p, hbe)
-        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
-        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
-        is_b[csl] = inv_s
-        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
-        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
-        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
+        am_b[csl, 0] = jnp.where(ok, am_b[csl, 0], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl, 0], 0.0)
+        is_b[csl, 0] = inv_s
+        tos_b[csl, 0] = jnp.where(ok, tos_b[csl, 0] * inv_s, 0.0)
+        gs_b[csl, 0] = jnp.where(ok, gs_b[csl, 0] * mk_b[csl, 0],
+                                 0.0) * beta
+        gc_b[csl, 0] = jnp.where(ok, gc_b[csl, 0], 0.0)
         if not unnormalized:
-            m_b[csl] = jnp.where(ok, m_b[csl], 0.0)
+            m_b[csl, 0] = jnp.where(ok, m_b[csl, 0], 0.0)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
         b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
@@ -533,12 +583,12 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
     csl = pl.ds(p, hbe)
-    inv_s_e = is_b[csl]
-    tos_e = tos_b[csl]
-    am_e = am_b[csl]
-    gs_e = gs_b[csl]        # ĝ_soft · mask · β
-    gc_e = gc_b[csl]        # ĝ_conf
-    m_e = None if unnormalized else m_b[csl]
+    inv_s_e = is_b[csl, 0]
+    tos_e = tos_b[csl, 0]
+    am_e = am_b[csl, 0]
+    gs_e = gs_b[csl, 0]     # ĝ_soft · mask · β
+    gc_e = gc_b[csl, 0]     # ĝ_conf
+    m_e = None if unnormalized else m_b[csl, 0]
 
     def plane(j):
         c0 = dt - 1 - j
@@ -650,6 +700,9 @@ def _fused_train_bwd_impl(camera, projector, residual_maps, D, k, eps,
     if maps_rows < hbe:
         maps = [jnp.pad(m, ((0, hbe - maps_rows), (0, 0))) for m in maps]
         maps_rows = hbe
+    # Unit middle dim: a ≥3D memref's dim 0 is untiled, keeping the
+    # kernel's dynamic (unaligned) row-offset map DMAs legal.
+    maps = [m[:, None, :] for m in maps]
 
     unnormalized = _unnormalized_head(beta, D)
     kernel = functools.partial(
@@ -672,13 +725,13 @@ def _fused_train_bwd_impl(camera, projector, residual_maps, D, k, eps,
             pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera
             pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
             pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # am
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # 1/s
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # t/s
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝs·mask·β
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝc
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # m (norm.)
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # mask stage
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # am
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # 1/s
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # t/s
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝs·mask·β
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝc
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # m (norm.)
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # mask stage
             pltpu.VMEM((hbe, wo), camera.dtype),              # Σx (center)
             pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
             pltpu.VMEM((hbe, syw), camera.dtype),             # μy
@@ -693,6 +746,8 @@ def _fused_train_bwd_impl(camera, projector, residual_maps, D, k, eps,
             bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
             transcendentals=2 * H * W * (D + 1),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
         interpret=interpret,
     )(cam_p, proj_p, am, mask, conf, s, t, gsoft_p, gconf_p)
 
@@ -709,7 +764,8 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
                         *, H: int, W: int, D: int, k: int, eps: float,
                         beta: float, unnormalized: bool, hb: int, dt: int,
                         wo: int, woe: int, wcc: int, pw: int, syw: int,
-                        lp: int, maps_rows: int, g_rows: int, n_last: int):
+                        lp: int, maps_rows: int, g_rows: int,
+                        nf: int, rem: int):
     """Cost-residual fused backward: the training forward saved the cost
     volume, so the per-plane cross-term recompute (``prod`` + its box
     pass — the dominant cost of the recompute-from-images variant)
@@ -750,6 +806,10 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         # (o = p − δ ∈ [0, 2p]): every subsequent VMEM read is then a
         # STATIC row slice at offset p — dynamic sublane bases in the
         # plane loop are what the per-plane read path cannot afford.
+        # Maps travel as [rows, 1, wo]: dim 0 of a ≥3D memref is
+        # untiled, so the dynamic row offsets (s0m, o_m are not
+        # multiples of 8) stay legal — a 2D copy would trip Mosaic's
+        # 8-aligned sublane-slice rule.
         s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
         o_m = p - ((r0 - p) - s0m)
         srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
@@ -790,14 +850,15 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         ok = jnp.logical_and(
             jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
         csl = pl.ds(p, hbe)
-        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
-        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
-        is_b[csl] = inv_s
-        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
-        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
-        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
+        am_b[csl, 0] = jnp.where(ok, am_b[csl, 0], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl, 0], 0.0)
+        is_b[csl, 0] = inv_s
+        tos_b[csl, 0] = jnp.where(ok, tos_b[csl, 0] * inv_s, 0.0)
+        gs_b[csl, 0] = jnp.where(ok, gs_b[csl, 0] * mk_b[csl, 0],
+                                 0.0) * beta
+        gc_b[csl, 0] = jnp.where(ok, gc_b[csl, 0], 0.0)
         if not unnormalized:
-            m_b[csl] = jnp.where(ok, m_b[csl], 0.0)
+            m_b[csl, 0] = jnp.where(ok, m_b[csl, 0], 0.0)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
         b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
@@ -850,12 +911,12 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
                             trow + (r0 - p) < g_rows)
 
     csl = pl.ds(p, hbe)
-    inv_s_e = is_b[csl]
-    tos_e = tos_b[csl]
-    am_e = am_b[csl]
-    gs_e = gs_b[csl]        # ĝ_soft · mask · β
-    gc_e = gc_b[csl]        # ĝ_conf
-    m_e = None if unnormalized else m_b[csl]
+    inv_s_e = is_b[csl, 0]
+    tos_e = tos_b[csl, 0]
+    am_e = am_b[csl, 0]
+    gs_e = gs_b[csl, 0]     # ĝ_soft · mask · β
+    gc_e = gc_b[csl, 0]     # ĝ_conf
+    m_e = None if unnormalized else m_b[csl, 0]
 
     def plane(j):
         c0 = dt - 1 - j
@@ -881,19 +942,27 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         b_scr[:, :] = b_scr[:, :] + (g_d * c_t * (r_c * r_c) * ey2c)
         grmu_scr[:, :] = grmu_scr[:, :] + gr * syb[:, c0 + p:c0 + p + wo]
 
-    if n_last == dt:
+    # Planes beyond D are skipped STATICALLY: the forward never writes
+    # them (their HBM bytes are uninitialized), and the head cotangent
+    # formula does not apply to planes the head never saw.  Tiles below
+    # ``nf`` are fully valid; tile ``nf`` holds the ``rem`` last valid
+    # planes; later tiles (a 16-rounded volume declaration consumed by a
+    # dt=8 backward) do nothing.  This decouples the backward's tile
+    # choice from the forward's plane declaration.
+    if rem == 0 and nf == n_d:
         for j in range(dt):
             plane(j)
     else:
-        @pl.when(d_idx != n_d - 1)
+        @pl.when(d_idx < nf)
         def _full_tile():
             for j in range(dt):
                 plane(j)
 
-        @pl.when(d_idx == n_d - 1)
-        def _last_tile():
-            for j in range(n_last):
-                plane(j)
+        if rem:
+            @pl.when(d_idx == nf)
+            def _partial_tile():
+                for j in range(rem):
+                    plane(j)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -930,22 +999,17 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
         hb -= 8
     hbe = hb + 2 * p
     n_planes = cost.shape[1]
-    dt = 8
-    for cand in range(8, 17, 8):
-        if n_planes % cand == 0:
-            dt = cand
-    n_d = n_planes // dt
-    if n_planes - (D + 1) >= dt:
-        raise ValueError(
-            f"cost volume has {n_planes - (D + 1)} unwritten padding "
-            f"planes but the backward's disparity tile is {dt}")
-
     wo = _round_up(max(W, 128), 128)
     woe = wo + 2 * p
     wcc = _round_up(woe + 2 * p, 128)
-    lp = _round_up(max(D + 1, n_d * dt), 128)
+    lp = _round_up(max(D + 1, n_planes), 128)
     syw = wcc + lp
     pw = _round_up(syw + 2 * p, 128)
+    dt = bwd_c_disparity_tile(W, D, k, hb, n_planes)
+    n_d = n_planes // dt
+    if n_planes < D + 1:
+        raise ValueError(
+            f"cost volume has {n_planes} planes < D+1 = {D + 1}")
 
     n_h = -(-H // hb)
     h_pad = n_h * hb
@@ -962,6 +1026,9 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
     if maps_rows < hbe:
         maps = [jnp.pad(m, ((0, hbe - maps_rows), (0, 0))) for m in maps]
         maps_rows = hbe
+    # Unit middle dim: a ≥3D memref's dim 0 is untiled, keeping the
+    # kernel's dynamic (unaligned) row-offset map DMAs legal.
+    maps = [m[:, None, :] for m in maps]
     if g_rows < hbe:
         cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
         g_rows = hbe
@@ -972,7 +1039,7 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
         beta=float(beta), unnormalized=unnormalized, hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw,
         syw=syw, lp=lp, maps_rows=maps_rows, g_rows=g_rows,
-        n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)))
+        nf=(D + 1) // dt, rem=(D + 1) % dt)
 
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
@@ -989,13 +1056,13 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
             pltpu.VMEM((2, hbe + 2 * p, dt, wo),
                        camera.dtype),                # cost tile (2 slots)
             pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # am
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # 1/s
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # t/s
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝs·mask·β
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # ĝc
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # m (norm.)
-            pltpu.VMEM((hbe + 2 * p, wo), camera.dtype),      # mask stage
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # am
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # 1/s
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # t/s
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝs·mask·β
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝc
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # m (norm.)
+            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # mask stage
             pltpu.VMEM((hbe, wo), camera.dtype),              # μx
             pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
             pltpu.VMEM((hbe, syw), camera.dtype),             # μy
@@ -1010,6 +1077,8 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
             bytes_accessed=H * W * (D + 1) * 4 + 2 * H * W * 4,
             transcendentals=2 * H * W * (D + 1),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
         interpret=interpret,
     )(cam_p, proj_p, am, mask, conf, s, t, gsoft_p, gconf_p, cost)
 

@@ -537,14 +537,19 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
     decl = _round_up(n_planes, 16)
     if decl - (D + 1) < 16:
         n_planes = decl
-    dt = 16 if n_planes % 16 == 0 else 8
-    n_d = n_planes // dt
     wo = _round_up(max(W, 128), 128)
     woe = wo + 2 * p
     wcc = _round_up(woe + 2 * p, 128)
-    lp = _round_up(max(D + 1, n_d * dt), 128)
+    lp = _round_up(max(D + 1, n_planes), 128)
     syw = wcc + lp
     pw = _round_up(syw + 2 * p, 128)
+    # The driver's VMEM-aware tile choice, imported (not mirrored) so
+    # pricing can never drift from what the kernel actually runs.
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        bwd_c_disparity_tile,
+    )
+    dt = bwd_c_disparity_tile(W, D, k, hb, n_planes)
+    n_d = n_planes // dt
     n_h = -(-H // hb)
     band_rows = _round_up(hbe + 2 * p, 8)
 
