@@ -87,6 +87,7 @@ def bwd_c_disparity_tile(W: int, D: int, k: int, hb: int,
     actual choice.
     """
     p = k // 2
+    pa = _round_up(p, 8)
     hbe = hb + 2 * p
     wo = _round_up(max(W, 128), 128)
     woe = wo + 2 * p
@@ -99,7 +100,7 @@ def bwd_c_disparity_tile(W: int, D: int, k: int, hb: int,
             continue
         scratch = 4 * (_round_up(hbe + 2 * p, 8) * (wcc + pw)
                        + 2 * (hbe + 2 * p) * cand * wo      # cost, 2 slots
-                       + hbe * woe + 7 * (hbe + 2 * p) * wo
+                       + hbe * woe + 7 * (hb + 4 * pa) * wo
                        + 2 * hbe * wo + 2 * hbe * syw
                        + hb * wo + 2 * hbe * wo)
         if scratch <= _BWD_VMEM_BUDGET:
@@ -495,9 +496,13 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
     p = k // 2
+    pa = _round_up(p, 8)
     hbe = hb + 2 * p
     band_rows = _round_up(hbe + 2 * p, 8)
     inv_k2 = 1.0 / float(k * k)
+    # Static row offset of the extended (±p) window inside the map
+    # buffers under the all-aligned staging below.
+    q = 2 * pa - p
 
     @pl.when(d_idx == 0)
     def _load_and_stats():
@@ -506,22 +511,24 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
             cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
         proj_dma = pltpu.make_async_copy(
             proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
-        # Residual maps for ext rows [r0−p, r0+hb+p): the clamp
-        # correction is folded into the DMA DESTINATION offset
-        # (o = p − δ ∈ [0, 2p]) so every subsequent read is a STATIC
-        # row slice at offset p.  Maps travel as [rows, 1, wo]: dim 0 of
-        # a ≥3D memref is untiled, so the dynamic row offsets (s0m, o_m
-        # are not multiples of 8) stay legal — a 2D copy would trip
-        # Mosaic's 8-aligned sublane-slice rule.
-        s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
-        o_m = p - ((r0 - p) - s0m)
+        # ALL-ALIGNED map staging for ext rows [r0−p, r0+hb+p): copy
+        # R = hb + 2·pa rows from the 8-aligned source offset r0 − pa,
+        # with the edge clamp folded into the (8-aligned) DMA
+        # DESTINATION offset, so source row (r0 − p) + j always lands at
+        # STATIC buffer row q + j.  Plain 2D maps: the [rows, 1, w]
+        # unit-dim alternative (untiled dim 0) stores one sublane per
+        # 8-sublane tile — 8× the DMA bytes and VMEM read cost
+        # (scripts/sweep4_bwdc_ablate.py: full 6.46 → maps2d 3.48 ms).
+        rows = hb + 2 * pa
+        s0m = pl.multiple_of(jnp.clip(r0 - pa, 0, maps_rows - rows), 8)
+        o_m = pl.multiple_of(pa - ((r0 - pa) - s0m), 8)
         srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
         dsts = [am_b, is_b, tos_b, gs_b, gc_b, mk_b]
         if not unnormalized:
             srcs.append(conf_hbm)
             dsts.append(m_b)
         copies = [pltpu.make_async_copy(
-            src.at[pl.ds(s0m, hbe)], dst.at[pl.ds(o_m, hbe)],
+            src.at[pl.ds(s0m, rows)], dst.at[pl.ds(o_m, rows)],
             sems.at[2 + i]) for i, (src, dst) in enumerate(zip(srcs, dsts))]
         cam_dma.start()
         proj_dma.start()
@@ -554,16 +561,15 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
         ok = jnp.logical_and(
             jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
-        csl = pl.ds(p, hbe)
-        am_b[csl, 0] = jnp.where(ok, am_b[csl, 0], 0.0)
-        inv_s = jnp.where(ok, 1.0 / is_b[csl, 0], 0.0)
-        is_b[csl, 0] = inv_s
-        tos_b[csl, 0] = jnp.where(ok, tos_b[csl, 0] * inv_s, 0.0)
-        gs_b[csl, 0] = jnp.where(ok, gs_b[csl, 0] * mk_b[csl, 0],
-                                 0.0) * beta
-        gc_b[csl, 0] = jnp.where(ok, gc_b[csl, 0], 0.0)
+        csl = pl.ds(q, hbe)
+        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
+        is_b[csl] = inv_s
+        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
+        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
+        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
         if not unnormalized:
-            m_b[csl, 0] = jnp.where(ok, m_b[csl, 0], 0.0)
+            m_b[csl] = jnp.where(ok, m_b[csl], 0.0)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
         b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
@@ -582,13 +588,13 @@ def _fused_bwd_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
     syb = pltpu.roll(sy_scr[:, :], syw - shift, axis=1)
     ey2b = pltpu.roll(ey2_scr[:, :], syw - shift, axis=1)
 
-    csl = pl.ds(p, hbe)
-    inv_s_e = is_b[csl, 0]
-    tos_e = tos_b[csl, 0]
-    am_e = am_b[csl, 0]
-    gs_e = gs_b[csl, 0]     # ĝ_soft · mask · β
-    gc_e = gc_b[csl, 0]     # ĝ_conf
-    m_e = None if unnormalized else m_b[csl, 0]
+    csl = pl.ds(q, hbe)
+    inv_s_e = is_b[csl]
+    tos_e = tos_b[csl]
+    am_e = am_b[csl]
+    gs_e = gs_b[csl]        # ĝ_soft · mask · β
+    gc_e = gc_b[csl]        # ĝ_conf
+    m_e = None if unnormalized else m_b[csl]
 
     def plane(j):
         c0 = dt - 1 - j
@@ -697,12 +703,15 @@ def _fused_train_bwd_impl(camera, projector, residual_maps, D, k, eps,
 
     maps = list(residual_maps)
     maps_rows = maps[0].shape[0]
-    if maps_rows < hbe:
-        maps = [jnp.pad(m, ((0, hbe - maps_rows), (0, 0))) for m in maps]
-        maps_rows = hbe
-    # Unit middle dim: a ≥3D memref's dim 0 is untiled, keeping the
-    # kernel's dynamic (unaligned) row-offset map DMAs legal.
-    maps = [m[:, None, :] for m in maps]
+    # The aligned staging copies hb + 2·pa rows per tile from 8-aligned
+    # offsets, so the maps must span at least that many rows, rounded
+    # to the sublane multiple.
+    pa = _round_up(p, 8)
+    need_rows = _round_up(max(maps_rows, hb + 2 * pa), 8)
+    if need_rows > maps_rows:
+        maps = [jnp.pad(m, ((0, need_rows - maps_rows), (0, 0)))
+                for m in maps]
+        maps_rows = need_rows
 
     unnormalized = _unnormalized_head(beta, D)
     kernel = functools.partial(
@@ -725,13 +734,13 @@ def _fused_train_bwd_impl(camera, projector, residual_maps, D, k, eps,
             pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera
             pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
             pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # am
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # 1/s
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # t/s
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝs·mask·β
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝc
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # m (norm.)
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # mask stage
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # am
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # 1/s
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # t/s
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # ĝs·mask·β
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # ĝc
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # m (norm.)
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # mask stage
             pltpu.VMEM((hbe, wo), camera.dtype),              # Σx (center)
             pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
             pltpu.VMEM((hbe, syw), camera.dtype),             # μy
@@ -791,9 +800,13 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
     p = k // 2
+    pa = _round_up(p, 8)
     hbe = hb + 2 * p
     band_rows = _round_up(hbe + 2 * p, 8)
     inv_k2 = 1.0 / float(k * k)
+    # Static row offset of the extended (±p) window inside the map
+    # buffers under the all-aligned staging below.
+    q = 2 * pa - p
 
     @pl.when(d_idx == 0)
     def _load_and_stats():
@@ -802,23 +815,25 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
             cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
         proj_dma = pltpu.make_async_copy(
             proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
-        # Clamp correction folded into the DMA DESTINATION offset
-        # (o = p − δ ∈ [0, 2p]): every subsequent VMEM read is then a
-        # STATIC row slice at offset p — dynamic sublane bases in the
-        # plane loop are what the per-plane read path cannot afford.
-        # Maps travel as [rows, 1, wo]: dim 0 of a ≥3D memref is
-        # untiled, so the dynamic row offsets (s0m, o_m are not
-        # multiples of 8) stay legal — a 2D copy would trip Mosaic's
-        # 8-aligned sublane-slice rule.
-        s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
-        o_m = p - ((r0 - p) - s0m)
+        # ALL-ALIGNED map staging: copy R = hb + 2·pa rows from the
+        # 8-aligned source offset r0 − pa, with the edge clamp folded
+        # into the (8-aligned) DMA DESTINATION offset, so source row
+        # (r0 − p) + j always lands at STATIC buffer row q + j.  The
+        # maps stay plain 2D: the earlier [rows, 1, w] unit-dim trick
+        # (untiled dim 0) was Mosaic-legal but stored one sublane per
+        # 8-sublane tile — 8× the HBM DMA bytes and 8× the VMEM read
+        # cost, measured ~3 ms of the kernel at KITTI shape
+        # (scripts/sweep4_bwdc_ablate.py: full 6.46 → maps2d 3.48).
+        rows = hb + 2 * pa
+        s0m = pl.multiple_of(jnp.clip(r0 - pa, 0, maps_rows - rows), 8)
+        o_m = pl.multiple_of(pa - ((r0 - pa) - s0m), 8)
         srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
         dsts = [am_b, is_b, tos_b, gs_b, gc_b, mk_b]
         if not unnormalized:
             srcs.append(conf_hbm)
             dsts.append(m_b)
         copies = [pltpu.make_async_copy(
-            src.at[pl.ds(s0m, hbe)], dst.at[pl.ds(o_m, hbe)],
+            src.at[pl.ds(s0m, rows)], dst.at[pl.ds(o_m, rows)],
             sems.at[2 + i]) for i, (src, dst) in enumerate(zip(srcs, dsts))]
         cam_dma.start()
         proj_dma.start()
@@ -849,16 +864,15 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
         ok = jnp.logical_and(
             jnp.logical_and(trow2 >= 0, trow2 < H), tcol < W)
-        csl = pl.ds(p, hbe)
-        am_b[csl, 0] = jnp.where(ok, am_b[csl, 0], 0.0)
-        inv_s = jnp.where(ok, 1.0 / is_b[csl, 0], 0.0)
-        is_b[csl, 0] = inv_s
-        tos_b[csl, 0] = jnp.where(ok, tos_b[csl, 0] * inv_s, 0.0)
-        gs_b[csl, 0] = jnp.where(ok, gs_b[csl, 0] * mk_b[csl, 0],
-                                 0.0) * beta
-        gc_b[csl, 0] = jnp.where(ok, gc_b[csl, 0], 0.0)
+        csl = pl.ds(q, hbe)
+        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
+        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
+        is_b[csl] = inv_s
+        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
+        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
+        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
         if not unnormalized:
-            m_b[csl, 0] = jnp.where(ok, m_b[csl, 0], 0.0)
+            m_b[csl] = jnp.where(ok, m_b[csl], 0.0)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
         b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
@@ -910,13 +924,13 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
     rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                             trow + (r0 - p) < g_rows)
 
-    csl = pl.ds(p, hbe)
-    inv_s_e = is_b[csl, 0]
-    tos_e = tos_b[csl, 0]
-    am_e = am_b[csl, 0]
-    gs_e = gs_b[csl, 0]     # ĝ_soft · mask · β
-    gc_e = gc_b[csl, 0]     # ĝ_conf
-    m_e = None if unnormalized else m_b[csl, 0]
+    csl = pl.ds(q, hbe)
+    inv_s_e = is_b[csl]
+    tos_e = tos_b[csl]
+    am_e = am_b[csl]
+    gs_e = gs_b[csl]        # ĝ_soft · mask · β
+    gc_e = gc_b[csl]        # ĝ_conf
+    m_e = None if unnormalized else m_b[csl]
 
     def plane(j):
         c0 = dt - 1 - j
@@ -1023,12 +1037,15 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
 
     maps = list(residual_maps)
     maps_rows = maps[0].shape[0]
-    if maps_rows < hbe:
-        maps = [jnp.pad(m, ((0, hbe - maps_rows), (0, 0))) for m in maps]
-        maps_rows = hbe
-    # Unit middle dim: a ≥3D memref's dim 0 is untiled, keeping the
-    # kernel's dynamic (unaligned) row-offset map DMAs legal.
-    maps = [m[:, None, :] for m in maps]
+    # The aligned staging copies hb + 2·pa rows per tile from 8-aligned
+    # offsets, so the maps must span at least that many rows, rounded
+    # to the sublane multiple.
+    pa = _round_up(p, 8)
+    need_rows = _round_up(max(maps_rows, hb + 2 * pa), 8)
+    if need_rows > maps_rows:
+        maps = [jnp.pad(m, ((0, need_rows - maps_rows), (0, 0)))
+                for m in maps]
+        maps_rows = need_rows
     if g_rows < hbe:
         cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
         g_rows = hbe
@@ -1056,13 +1073,13 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
             pltpu.VMEM((2, hbe + 2 * p, dt, wo),
                        camera.dtype),                # cost tile (2 slots)
             pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # am
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # 1/s
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # t/s
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝs·mask·β
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # ĝc
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # m (norm.)
-            pltpu.VMEM((hbe + 2 * p, 1, wo), camera.dtype),   # mask stage
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # am
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # 1/s
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # t/s
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # ĝs·mask·β
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # ĝc
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # m (norm.)
+            pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # mask stage
             pltpu.VMEM((hbe, wo), camera.dtype),              # μx
             pltpu.VMEM((hbe, wo), camera.dtype),              # ex2
             pltpu.VMEM((hbe, syw), camera.dtype),             # μy
@@ -1164,7 +1181,7 @@ def _fused_train_v_bwd(num_disparities, kernel_size, epsilon, beta,
     cam_grad = _fused_train_bwd_c_impl(
         camera, projector, (am, mask, conf, s, t, gsoft_p, gconf_p), cv,
         num_disparities, kernel_size, epsilon, beta,
-        bwd_block_rows or 40, interpret)
+        bwd_block_rows or 48, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -1203,7 +1220,7 @@ def stereo_pipeline_trainable(
     batches of concurrent frames).
 
     ``bwd_block_rows`` overrides the backward kernel's row tile (0 =
-    the KITTI-tuned default: 40 with the volume residual, 48 without);
+    the KITTI-tuned default, 48 in both modes);
     see :func:`..tuning.autotune_trainable_bwd_blocks`.
     """
     if save_volume:

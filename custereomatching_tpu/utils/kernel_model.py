@@ -524,8 +524,8 @@ def fused_backward_c_cost(H: int, W: int, D: int, k: int,
     p = k // 2
     hb = _round_up(hb, 8)
     # Mirror the driver's clamp: no row tile may straddle the residual
-    # volume's padded extent (the training forward tiles 48 rows), so
-    # the shipped hb=40 request actually runs 32 at KITTI height.
+    # volume's padded extent (the training forward tiles 48 rows; the
+    # shipped hb=48 divides it exactly at KITTI height).
     g_rows = _round_up(H, 48)
     while hb > 8 and -(-H // hb) * hb > max(g_rows, H):
         hb -= 8

@@ -74,14 +74,28 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
             wo, woe, wcc, pw, syw, lp, maps_rows, g_rows, n_last,
             go,                     # gr staging lane offset (p or 128)
             pair,                   # planes folded per accumulator store
+            maps2d,                 # 2D aligned map staging vs 3D unit-dim
+            inplane,                # read maps inside the plane loop
             do_box, do_head, do_r, do_b, do_grmu, do_a1, do_epi):
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
     p = k // 2
+    pa = _round_up(p, 8)
     hbe = hb + 2 * p
     band_rows = _round_up(hbe + 2 * p, 8)
     inv_k2 = 1.0 / float(k * k)
+    # Static row offset of the extended window inside the map buffers.
+    q = (2 * pa - p) if maps2d else p
+
+    def mget(buf, sl):
+        return buf[sl] if maps2d else buf[sl, 0]
+
+    def mset(buf, sl, val):
+        if maps2d:
+            buf[sl] = val
+        else:
+            buf[sl, 0] = val
 
     @pl.when(d_idx == 0)
     def _load_and_stats():
@@ -90,12 +104,23 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
             cam_hbm.at[pl.ds(r0, band_rows), :], cam_vmem, sems.at[0])
         proj_dma = pltpu.make_async_copy(
             proj_hbm.at[pl.ds(r0, band_rows), :], proj_vmem, sems.at[1])
-        s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
-        o_m = p - ((r0 - p) - s0m)
+        if maps2d:
+            # All-aligned staging: copy R = hb + 2·pa rows from the
+            # 8-aligned source offset r0 − pa; the clamp correction goes
+            # to the (8-aligned) DMA destination offset, so source row
+            # (r0 − p) + j always lands at static buffer row q + j.
+            rows = hb + 2 * pa
+            s0m = pl.multiple_of(
+                jnp.clip(r0 - pa, 0, maps_rows - rows), 8)
+            o_m = pl.multiple_of(pa - ((r0 - pa) - s0m), 8)
+        else:
+            rows = hbe
+            s0m = jnp.clip(r0 - p, 0, maps_rows - hbe)
+            o_m = p - ((r0 - p) - s0m)
         srcs = [am_hbm, s_hbm, t_hbm, gs_hbm, gc_hbm, mask_hbm]
         dsts = [am_b, is_b, tos_b, gs_b, gc_b, mk_b]
         copies = [pltpu.make_async_copy(
-            src.at[pl.ds(s0m, hbe)], dst.at[pl.ds(o_m, hbe)],
+            src.at[pl.ds(s0m, rows)], dst.at[pl.ds(o_m, rows)],
             sems.at[2 + i]) for i, (src, dst) in enumerate(zip(srcs, dsts))]
         cam_dma.start()
         proj_dma.start()
@@ -121,13 +146,14 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
         tcol = lax.broadcasted_iota(jnp.int32, (hbe, wo), 1)
         ok = jnp.logical_and(
             jnp.logical_and(trow2 >= 0, trow2 < Hs), tcol < Ws)
-        csl = pl.ds(p, hbe)
-        am_b[csl] = jnp.where(ok, am_b[csl], 0.0)
-        inv_s = jnp.where(ok, 1.0 / is_b[csl], 0.0)
-        is_b[csl] = inv_s
-        tos_b[csl] = jnp.where(ok, tos_b[csl] * inv_s, 0.0)
-        gs_b[csl] = jnp.where(ok, gs_b[csl] * mk_b[csl], 0.0) * beta
-        gc_b[csl] = jnp.where(ok, gc_b[csl], 0.0)
+        csl = pl.ds(q, hbe)
+        mset(am_b, csl, jnp.where(ok, mget(am_b, csl), 0.0))
+        inv_s = jnp.where(ok, 1.0 / mget(is_b, csl), 0.0)
+        mset(is_b, csl, inv_s)
+        mset(tos_b, csl, jnp.where(ok, mget(tos_b, csl) * inv_s, 0.0))
+        mset(gs_b, csl, jnp.where(ok, mget(gs_b, csl) * mget(mk_b, csl),
+                                  0.0) * beta)
+        mset(gc_b, csl, jnp.where(ok, mget(gc_b, csl), 0.0))
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
         b_scr[:, :] = jnp.zeros((hbe, wo), b_scr.dtype)
@@ -174,14 +200,20 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
     rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                             trow + (r0 - p) < g_rows)
 
-    csl = pl.ds(p, hbe)
-    inv_s_e = is_b[csl]
-    tos_e = tos_b[csl]
-    am_e = am_b[csl]
-    gs_e = gs_b[csl]
-    gc_e = gc_b[csl]
+    csl = pl.ds(q, hbe)
+
+    def _map_vals():
+        return (mget(is_b, csl), mget(tos_b, csl), mget(am_b, csl),
+                mget(gs_b, csl), mget(gc_b, csl))
+
+    hoisted = None if inplane else _map_vals()
 
     def plane_terms(j):
+        # inplane: per-plane VMEM re-reads — cheap, and they keep the
+        # live set across the unrolled loop small (no value-stack
+        # spills).  Otherwise the reads are hoisted once per grid step.
+        inv_s_e, tos_e, am_e, gs_e, gc_e = (
+            _map_vals() if inplane else hoisted)
         c0 = dt - 1 - j
         if do_r:
             ey2c = ey2b[:, c0 + p:c0 + p + wo]
@@ -255,9 +287,10 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
 
 
 def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
-          **gates):
+          maps2d=False, inplane=False, **gates):
     H, W, D, K = shape if shape is not None else SHAPE
     p = K // 2
+    pa = _round_up(p, 8)
     hb = _round_up(hb, 8)
     hbe = hb + 2 * p
     n_planes = _round_up(D + 1, 8)
@@ -307,6 +340,24 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
     cost = jax.random.uniform(ks[8], (g_rows, n_planes, wo), jnp.float32,
                               -1.0, 1.0)
 
+    if maps2d:
+        # Aligned staging needs maps_rows >= hb + 2·pa (whole copy fits)
+        # and a multiple of 8 (aligned clamp bound).
+        need = _round_up(max(maps_rows, hb + 2 * pa), 8)
+        if need > maps_rows:
+            padm = ((0, need - maps_rows), (0, 0))
+            am, mask, s, t, gs, gc = (jnp.pad(m, padm)
+                                      for m in (am, mask, s, t, gs, gc))
+            maps_rows = need
+        map_buf_rows = hb + 4 * pa
+        map_buf = (map_buf_rows, wo)
+    else:
+        # Unit middle dim keeps the unaligned dynamic row-offset map
+        # DMAs legal on hardware (dim 0 of a >=3D memref is untiled).
+        am, mask, s, t, gs, gc = (m[:, None, :]
+                                  for m in (am, mask, s, t, gs, gc))
+        map_buf = (hbe + 2 * p, 1, wo)
+
     gates_full = dict(do_box=True, do_head=True, do_r=True, do_b=True,
                       do_grmu=True, do_a1=True, do_epi=True)
     gates_full.update(gates)
@@ -314,6 +365,7 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
         _kernel, Hs=H, Ws=W, Ds=D, k=K, eps=EPS, beta=BETA, hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
         maps_rows=maps_rows, g_rows=g_rows, go=go, pair=pair,
+        maps2d=maps2d, inplane=inplane,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)), **gates_full)
 
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
@@ -332,12 +384,12 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
                 pltpu.VMEM((band_rows, pw), jnp.float32),
                 pltpu.VMEM((2, hbe + 2 * p, dt, wo), jnp.float32),
                 pltpu.VMEM((hbe, gw), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
-                pltpu.VMEM((hbe + 2 * p, wo), jnp.float32),
+                pltpu.VMEM(map_buf, jnp.float32),
+                pltpu.VMEM(map_buf, jnp.float32),
+                pltpu.VMEM(map_buf, jnp.float32),
+                pltpu.VMEM(map_buf, jnp.float32),
+                pltpu.VMEM(map_buf, jnp.float32),
+                pltpu.VMEM(map_buf, jnp.float32),
                 pltpu.VMEM((hbe, wo), jnp.float32),
                 pltpu.VMEM((hbe, wo), jnp.float32),
                 pltpu.VMEM((hbe, syw), jnp.float32),
@@ -347,17 +399,39 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
                 pltpu.VMEM((hbe, wo), jnp.float32),
                 pltpu.SemaphoreType.DMA((10,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
             interpret=interpret,
         )(cam_p, proj_p, am, mask, s, t, gs, gc, cost)
 
     data = (cam_p, proj_p, am, mask, s, t, gs, gc, cost)
-    raw = (camera, projector, am, mask, s, t, gs, gc, cost)
+    flat = ((m if maps2d else m[:, 0]) for m in (am, mask, s, t, gs, gc))
+    raw = (camera, projector, *flat, cost)
     return run, data, raw
 
 
 CONFIGS = {
     "full": {},
     "full_dt8": {"dt": 8},
+    "maps2d": {"maps2d": True},
+    "inplane": {"inplane": True},
+    "maps2d_inplane": {"maps2d": True, "inplane": True},
+    "m2d_ip_dt8": {"maps2d": True, "inplane": True, "dt": 8},
+    "m2d_ip_hb32": {"maps2d": True, "inplane": True, "hb": 32},
+    "m2d_ip_hb32_dt8": {"maps2d": True, "inplane": True,
+                        "hb": 32, "dt": 8},
+    "m2d_ip_hb24": {"maps2d": True, "inplane": True, "hb": 24},
+    "m2d_ip_hb48": {"maps2d": True, "inplane": True, "hb": 48},
+    "m2d_hb32_pair2": {"maps2d": True, "hb": 32, "pair": 2},
+    "m2d_hb32_noepi": {"maps2d": True, "hb": 32, "do_epi": False},
+    "m2d_hb32_nobox": {"maps2d": True, "hb": 32, "do_box": False},
+    "m2d_hb32_nohead": {"maps2d": True, "hb": 32, "do_head": False},
+    "m2d_hb32_nobgrmu": {"maps2d": True, "hb": 32,
+                         "do_b": False, "do_grmu": False},
+    "m2d_hb32_nor": {"maps2d": True, "hb": 32, "do_r": False},
+    "m2d_hb32_bare": {"maps2d": True, "hb": 32, "do_box": False,
+                      "do_head": False, "do_r": False, "do_b": False,
+                      "do_grmu": False, "do_a1": False, "do_epi": False},
     "hb32": {"hb": 32},
     "hb48": {"hb": 48},
     "hb56": {"hb": 56},
@@ -378,7 +452,8 @@ CONFIGS = {
 
 
 def check(configs=("full", "aligned_store", "full_dt8", "pair2", "pair4",
-                   "pair2_aligned")):
+                   "pair2_aligned", "maps2d", "inplane", "maps2d_inplane",
+                   "m2d_ip_dt8")):
     """Interpreter-mode equivalence vs the shipped backward (small shape).
 
     Only structure-preserving configs (all compute gates on) can match;
