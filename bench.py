@@ -421,7 +421,7 @@ def main() -> None:
             b_tfwd = kernel_bound(
                 fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
                 rates)["bound_s"]
-            b_tbwd = kernel_bound(fused_backward_c_cost(H, W, D, K, 40, 8),
+            b_tbwd = kernel_bound(fused_backward_c_cost(H, W, D, K, 48),
                                   rates)["bound_s"]
             b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
                                   rates)["bound_s"]
