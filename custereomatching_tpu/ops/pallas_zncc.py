@@ -447,7 +447,7 @@ def _pallas_stereo_hdw_bwd(num_disparities, kernel_size, epsilon, interpret,
     camera, projector, cost = residuals
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
-        40, 8, interpret)
+        48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -481,7 +481,7 @@ def _pallas_stereo_hdw_both_bwd(num_disparities, kernel_size, epsilon,
     camera, projector, cost = residuals
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
-        40, 8, interpret)
+        48, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
         32, 8, interpret)
@@ -524,7 +524,7 @@ def _pallas_stereo_both_bwd(num_disparities, kernel_size, epsilon, interpret,
     g_hdw = lax.dynamic_update_slice(g_hdw, jnp.swapaxes(g, 1, 2), (0, 0, 0))
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, hdw, g_hdw, num_disparities, kernel_size,
-        epsilon, 40, 8, interpret)
+        epsilon, 48, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
         camera, projector, hdw, g_hdw, num_disparities, kernel_size,
         epsilon, 32, 8, interpret)

@@ -364,6 +364,12 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
             + 2 * H * W * 4,
             transcendentals=H * W * (D + 1),
         ),
+        # Raised scoped-VMEM limit (the compiler's 16 MB default counts
+        # scratch + the Mosaic value stack + VMEM-placed ANY inputs;
+        # taller row tiles are a measured win and the v5e has far more
+        # physical VMEM than the default assumes).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(*inputs)
 
@@ -831,7 +837,7 @@ def pallas_camera_grad_banded_hdw_with_cost(
     num_disparities: int,
     kernel_size: int = 15,
     epsilon: float = EPSILON,
-    block_rows: int = 40,
+    block_rows: int = 48,
     block_disparities: int = 8,
     interpret: bool = False,
 ) -> jax.Array:

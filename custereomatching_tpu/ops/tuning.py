@@ -151,18 +151,24 @@ def _trainable_bwd_vmem(H, W, D, k, hb, dt) -> float:
     return 4.0 * (scratch + stack)
 
 
-def _trainable_bwd_dt(num_disparities: int) -> int:
+def _trainable_bwd_dt(num_disparities: int, width: int, kernel_size: int,
+                      hb: int) -> int:
     """The disparity tile the cost-residual backward will actually use:
     the volume-mode forward (48×8 blocks) declares its plane count
     rounded to 16 when the never-written tail fits the backward's
-    skipped last tile; the backward then picks the largest of {8, 16}
-    dividing it (pallas_pipeline.py::_fused_train_bwd_c_impl)."""
+    skipped last tile; the backward then picks the tile via the shared
+    VMEM-aware helper (pallas_pipeline.py::bwd_c_disparity_tile)."""
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        bwd_c_disparity_tile,
+    )
+
     n_d8 = -(-(num_disparities + 1) // 8)
     vol_planes = n_d8 * 8
     decl = _round_up(vol_planes, 16)
     if decl > vol_planes and decl - (num_disparities + 1) < 16:
         vol_planes = decl
-    return 16 if vol_planes % 16 == 0 else 8
+    return bwd_c_disparity_tile(width, num_disparities, kernel_size, hb,
+                                vol_planes)
 
 
 def candidate_blocks(kind: str, height: int, width: int,
@@ -195,10 +201,14 @@ def candidate_blocks(kind: str, height: int, width: int,
         fwd_pad = _round_up(height, 48)
         hbs = [hb for hb in (8,) + tuple(hbs)
                if -(-height // hb) * hb <= max(fwd_pad, height)]
-        dts = [_trainable_bwd_dt(D)]
-    else:
-        dts = sorted({min(_round_up(D + 1, 8), dtv)
-                      for dtv in (8, 16, 24, 32, 40, 48, 64)})
+        out = []
+        for hb in hbs:
+            dt = _trainable_bwd_dt(D, width, kernel_size, hb)
+            if est(height, width, D, kernel_size, hb, dt) <= budget:
+                out.append((hb, dt))
+        return out
+    dts = sorted({min(_round_up(D + 1, 8), dtv)
+                  for dtv in (8, 16, 24, 32, 40, 48, 64)})
     out = []
     for hb in hbs:
         for dt in dts:

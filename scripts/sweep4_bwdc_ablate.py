@@ -76,6 +76,7 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
             pair,                   # planes folded per accumulator store
             maps2d,                 # 2D aligned map staging vs 3D unit-dim
             inplane,                # read maps inside the plane loop
+            dhw,                    # plane-major [planes, rows, w] volume
             do_box, do_head, do_r, do_b, do_grmu, do_a1, do_epi):
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
@@ -166,6 +167,19 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
 
     def _issue_c(hi, di, sl):
         r0i = hi * hb
+        if dhw:
+            # Plane-major volume: rows are a TILED dim of the staging
+            # buffer, so stage with the same aligned-row trick as the
+            # maps — the per-plane read is then a dense 2D tile instead
+            # of one sublane per (dt, 128) tile.
+            crows = hb + 2 * pa
+            s0i = pl.multiple_of(
+                jnp.clip(r0i - pa, 0, g_rows - crows), 8)
+            o_c = pl.multiple_of(pa - ((r0i - pa) - s0i), 8)
+            return pltpu.make_async_copy(
+                c_hbm.at[pl.ds(di * dt, dt), pl.ds(s0i, crows), :],
+                c_vmem.at[sl, :, pl.ds(o_c, crows)],
+                sems.at[8 + sl])
         s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
         return pltpu.make_async_copy(
             c_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
@@ -221,7 +235,11 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
         else:
             ey2c = ex2
             r = ex2
-        c_t = jnp.where(rmask, c_vmem[slot, p:p + hbe, j, :], 0.0)
+        if dhw:
+            qc = 2 * pa - p
+            c_t = jnp.where(rmask, c_vmem[slot, j, qc:qc + hbe, :], 0.0)
+        else:
+            c_t = jnp.where(rmask, c_vmem[slot, p:p + hbe, j, :], 0.0)
         d_f = jnp.float32(0) + (d_base + j)
         if do_head:
             w = jnp.where(inv_s_e > 0.0,
@@ -287,7 +305,7 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm,
 
 
 def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
-          maps2d=False, inplane=False, **gates):
+          maps2d=False, inplane=False, dhw=False, **gates):
     H, W, D, K = shape if shape is not None else SHAPE
     p = K // 2
     pa = _round_up(p, 8)
@@ -337,8 +355,13 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
     gs = jax.random.uniform(ks[6], (maps_rows, wo), jnp.float32, -1.0, 1.0)
     gc = jax.random.uniform(ks[7], (maps_rows, wo), jnp.float32, -1.0, 1.0)
     g_rows = maps_rows
-    cost = jax.random.uniform(ks[8], (g_rows, n_planes, wo), jnp.float32,
-                              -1.0, 1.0)
+    if dhw:
+        g_rows = _round_up(max(g_rows, hb + 2 * pa), 8)
+        cost = jax.random.uniform(ks[8], (n_planes, g_rows, wo),
+                                  jnp.float32, -1.0, 1.0)
+    else:
+        cost = jax.random.uniform(ks[8], (g_rows, n_planes, wo),
+                                  jnp.float32, -1.0, 1.0)
 
     if maps2d:
         # Aligned staging needs maps_rows >= hb + 2·pa (whole copy fits)
@@ -365,7 +388,7 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
         _kernel, Hs=H, Ws=W, Ds=D, k=K, eps=EPS, beta=BETA, hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
         maps_rows=maps_rows, g_rows=g_rows, go=go, pair=pair,
-        maps2d=maps2d, inplane=inplane,
+        maps2d=maps2d, inplane=inplane, dhw=dhw,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)), **gates_full)
 
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
@@ -382,7 +405,9 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
             scratch_shapes=[
                 pltpu.VMEM((band_rows, wcc), jnp.float32),
                 pltpu.VMEM((band_rows, pw), jnp.float32),
-                pltpu.VMEM((2, hbe + 2 * p, dt, wo), jnp.float32),
+                (pltpu.VMEM((2, dt, hb + 4 * pa, wo), jnp.float32)
+                 if dhw else
+                 pltpu.VMEM((2, hbe + 2 * p, dt, wo), jnp.float32)),
                 pltpu.VMEM((hbe, gw), jnp.float32),
                 pltpu.VMEM(map_buf, jnp.float32),
                 pltpu.VMEM(map_buf, jnp.float32),
@@ -406,7 +431,9 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
 
     data = (cam_p, proj_p, am, mask, s, t, gs, gc, cost)
     flat = ((m if maps2d else m[:, 0]) for m in (am, mask, s, t, gs, gc))
-    raw = (camera, projector, *flat, cost)
+    # The production reference consumes the row-major HDW layout.
+    raw = (camera, projector, *flat,
+           cost.transpose(1, 0, 2) if dhw else cost)
     return run, data, raw
 
 
@@ -420,6 +447,10 @@ CONFIGS = {
     "m2d_ip_hb32": {"maps2d": True, "inplane": True, "hb": 32},
     "m2d_ip_hb32_dt8": {"maps2d": True, "inplane": True,
                         "hb": 32, "dt": 8},
+    "dhw_hb32": {"maps2d": True, "dhw": True, "hb": 32},
+    "dhw_hb48": {"maps2d": True, "dhw": True, "hb": 48},
+    "dhw_hb48_dt8": {"maps2d": True, "dhw": True, "hb": 48, "dt": 8},
+    "dhw_hb64": {"maps2d": True, "dhw": True, "hb": 64},
     "m2d_ip_hb24": {"maps2d": True, "inplane": True, "hb": 24},
     "m2d_ip_hb48": {"maps2d": True, "inplane": True, "hb": 48},
     "m2d_hb32_pair2": {"maps2d": True, "hb": 32, "pair": 2},
@@ -453,7 +484,7 @@ CONFIGS = {
 
 def check(configs=("full", "aligned_store", "full_dt8", "pair2", "pair4",
                    "pair2_aligned", "maps2d", "inplane", "maps2d_inplane",
-                   "m2d_ip_dt8")):
+                   "m2d_ip_dt8", "dhw_hb32", "dhw_hb48_dt8")):
     """Interpreter-mode equivalence vs the shipped backward (small shape).
 
     Only structure-preserving configs (all compute gates on) can match;
