@@ -484,7 +484,7 @@ def _pallas_stereo_hdw_both_bwd(num_disparities, kernel_size, epsilon,
         48, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
-        32, 8, interpret)
+        48, 8, interpret)
     return cam_grad, proj_grad
 
 
@@ -527,7 +527,7 @@ def _pallas_stereo_both_bwd(num_disparities, kernel_size, epsilon, interpret,
         epsilon, 48, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
         camera, projector, hdw, g_hdw, num_disparities, kernel_size,
-        epsilon, 32, 8, interpret)
+        epsilon, 48, 8, interpret)
     return cam_grad, proj_grad
 
 

@@ -695,7 +695,7 @@ def pallas_projector_grad_banded_hdw_with_cost(
     num_disparities: int,
     kernel_size: int = 15,
     epsilon: float = EPSILON,
-    block_rows: int = 32,
+    block_rows: int = 48,
     block_disparities: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
@@ -806,6 +806,9 @@ def pallas_projector_grad_banded_hdw_with_cost(
             bytes_accessed=2 * H * W * (D + 1) * 4 + 2 * H * W * 4,
             transcendentals=H * W * (D + 1),
         ),
+        # Raised scoped-VMEM limit — same rationale as _run_bwd's.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(cam_p, proj_p, padded_hdw_grad, cost_volume_hdw)
 
