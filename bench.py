@@ -426,7 +426,7 @@ def main() -> None:
             b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
                                   rates)["bound_s"]
             b_vbwd = kernel_bound(
-                volume_backward_cost(H, W, D, K, 40, 8, True),
+                volume_backward_cost(H, W, D, K, 48, 8, True),
                 rates)["bound_s"]
             b_train = b_tfwd + b_tbwd
             b_vfb = b_vfwd + b_vbwd

@@ -53,7 +53,7 @@ def _bwd_kernel(*refs,
                 D: int, k: int, eps: float, hb: int, dt: int,
                 wo: int, woe: int, wcc: int, pw: int, syw: int, lp: int,
                 direct_g: bool, g_rows: int, n_last: int,
-                have_c: bool):
+                have_c: bool, fuse_epi: bool):
     """``direct_g=False``: the cotangent source is pre-padded to band
     coordinates ``[src_rows, n_d·dt, wcc]`` (image at offset (2p, 0, 2p)).
     ``direct_g=True``: the cotangent is the kernel's own padded-HDW
@@ -78,7 +78,15 @@ def _bwd_kernel(*refs,
     traded for one aligned, correction-free DMA read of ``c``'s center
     rows.
     """
-    if have_c:
+    if fuse_epi:
+        # Single finished-gradient output: b/grmu accumulate at the
+        # EXTENDED row extent so the gradient-combine box filters run
+        # in-kernel with no cross-tile halo (the fused trainable
+        # backward's design, pallas_pipeline.py::_fused_bwd_c_kernel).
+        (cam_hbm, proj_hbm, g_hbm, c_hbm, grad_ref,
+         cam_vmem, proj_vmem, g_vmem, c_vmem, gr_scr, sx_scr, ex2_scr,
+         sy_scr, ey2_scr, a1_scr, b_scr, grmu_scr, sems) = refs
+    elif have_c:
         (cam_hbm, proj_hbm, g_hbm, c_hbm, a1_ref, b_ref, grmu_ref,
          cam_vmem, proj_vmem, g_vmem, c_vmem, gr_scr, sx_scr, ex2_scr,
          sy_scr, ey2_scr, a1_scr, b_scr, grmu_scr, sems) = refs
@@ -110,7 +118,11 @@ def _bwd_kernel(*refs,
         sx = _box_from_band(cam, k, hbe, woe)
         ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
         # Store only the aligned center columns (all elementwise uses).
-        sx_scr[:, :] = sx[:, p:p + wo]
+        # fuse_epi consumes sx only as μx in the in-kernel epilogue
+        # (the cost residual replaces the cross term), so pre-scale it;
+        # the no-cost path pairs RAW Σx with the pre-scaled μy.
+        sx_scr[:, :] = (sx[:, p:p + wo] * inv_k2 if fuse_epi
+                        else sx[:, p:p + wo])
         ex2_scr[:, :] = ex2[:, p:p + wo]
         proj = proj_vmem[:, :]
         sy = _box_from_band(proj, k, hbe, syw)
@@ -119,8 +131,9 @@ def _bwd_kernel(*refs,
                          - sy * sy * inv_k2)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
-        b_scr[:, :] = jnp.zeros((hb, wo), b_scr.dtype)
-        grmu_scr[:, :] = jnp.zeros((hb, wo), grmu_scr.dtype)
+        acc_rows = hbe if fuse_epi else hb
+        b_scr[:, :] = jnp.zeros((acc_rows, wo), b_scr.dtype)
+        grmu_scr[:, :] = jnp.zeros((acc_rows, wo), grmu_scr.dtype)
         # gr_scr's column margins are its box halo: zero once; the hot
         # loop only ever writes the center columns.
         gr_scr[:, 0:p] = jnp.zeros((hbe, p), gr_scr.dtype)
@@ -150,10 +163,18 @@ def _bwd_kernel(*refs,
                 g_hbm.at[pl.ds(r0i, band_rows), pl.ds(di * dt, dt), :],
                 g_vmem.at[sl], sems.at[2 + sl]))
         if have_c:
-            copies.append(pltpu.make_async_copy(
-                c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
-                         pl.ds(di * dt, dt), :],
-                c_vmem.at[sl], sems.at[4 + sl]))
+            if fuse_epi:
+                # Extended rows, same addressing as the cotangent: the
+                # ext-extent B term needs c at the halo rows too.
+                s0c = jnp.clip(r0i - p, 0, g_rows - hbe)
+                copies.append(pltpu.make_async_copy(
+                    c_hbm.at[pl.ds(s0c, hbe), pl.ds(di * dt, dt), :],
+                    c_vmem.at[sl, pl.ds(p, hbe)], sems.at[4 + sl]))
+            else:
+                copies.append(pltpu.make_async_copy(
+                    c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
+                             pl.ds(di * dt, dt), :],
+                    c_vmem.at[sl], sems.at[4 + sl]))
         return copies
 
     @pl.when(step == 0)
@@ -201,7 +222,8 @@ def _bwd_kernel(*refs,
         # elementwise op runs at the aligned width wo.
         ey2c = ey2b[:, c0 + p:c0 + p + wo]                  # [hbe, wo]
         r = lax.rsqrt(ex2 * ey2c + eps)
-        muy_c = syb[p:p + hb, c0 + p:c0 + p + wo]           # μy (scaled)
+        if not fuse_epi:
+            muy_c = syb[p:p + hb, c0 + p:c0 + p + wo]       # μy (scaled)
 
         if not have_c:
             # Center-extent cross term via the box pass's free output
@@ -220,7 +242,8 @@ def _bwd_kernel(*refs,
             # Pre-padded band coordinates: band row s ↔ image row
             # r0 + s − 2p ⇒ image col w sits at band col w + 2p.
             raw = g_vmem[slot, p:p + hbe, j, 2 * p:2 * p + wo]
-        gr_scr[:, p:p + wo] = raw * r
+        grv = raw * r
+        gr_scr[:, p:p + wo] = grv
         gr = gr_scr[:, :]                                   # [hbe, woe]
 
         # A1: box2d(gr) at center rows ⊙ proj[y, x − d] (band offset 2p).
@@ -228,6 +251,19 @@ def _bwd_kernel(*refs,
         a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[2 * p:2 * p + hb,
                                                   c0 + 2 * p:c0 + 2 * p + wo]
 
+        if fuse_epi:
+            # b/grmu at the EXTENDED row extent: the in-kernel combine
+            # boxes then need no cross-tile halo (rows outside the image
+            # contribute exact zeros — the cotangent is zero there by
+            # contract, so raw is).  n·r³·ey2 = c·r²·ey2.
+            c_t = jnp.where(rmask,
+                            c_vmem[slot, pl.ds(delta + p, hbe), j, :],
+                            0.0)                            # [hbe, wo]
+            b_scr[:, :] = b_scr[:, :] + ((raw * c_t)
+                                         * ((r * r) * ey2c))
+            grmu_scr[:, :] = grmu_scr[:, :] + grv * syb[:,
+                                                        c0 + p:c0 + p + wo]
+            return
         r_c = r[p:p + hb, :]
         if have_c:
             # n·r³·ey2 = c·r²·ey2 with c the saved forward plane.
@@ -257,11 +293,28 @@ def _bwd_kernel(*refs,
             for j in range(n_last):
                 plane(j)
 
-    @pl.when(d_idx == n_d - 1)
-    def _epilogue():
-        a1_ref[:, :] = a1_scr[:, :]
-        b_ref[:, :] = b_scr[:, :]
-        grmu_ref[:, :] = grmu_scr[:, :]
+    if fuse_epi:
+        @pl.when(d_idx == n_d - 1)
+        def _fused_epilogue():
+            # grad = A1 − box(grmu) + box(b·μx) − camera ⊙ box(b) on the
+            # extended-row accumulators; gr_scr's zero column margins
+            # serve the ±p column reach (staged three times
+            # sequentially, exactly the fused trainable backward's
+            # epilogue).
+            gr_scr[:, p:p + wo] = grmu_scr[:, :]
+            t2 = _box_from_band(gr_scr[:, :], k, hb, wo)
+            gr_scr[:, p:p + wo] = b_scr[:, :] * sx_scr[:, :]
+            t3 = _box_from_band(gr_scr[:, :], k, hb, wo)
+            gr_scr[:, p:p + wo] = b_scr[:, :]
+            t4 = _box_from_band(gr_scr[:, :], k, hb, wo)
+            cam_c = cam_vmem[2 * p:2 * p + hb, 2 * p:2 * p + wo]
+            grad_ref[:, :] = (a1_scr[:, :] - t2) + (t3 - cam_c * t4)
+    else:
+        @pl.when(d_idx == n_d - 1)
+        def _epilogue():
+            a1_ref[:, :] = a1_scr[:, :]
+            b_ref[:, :] = b_scr[:, :]
+            grmu_ref[:, :] = grmu_scr[:, :]
 
 
 def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
@@ -321,42 +374,45 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     else:
         g_scratch = pltpu.VMEM((2, band_rows, dt, wcc), camera.dtype)
 
+    fuse_epi = have_c and direct_g
     kernel = functools.partial(
         _bwd_kernel, D=D, k=k, eps=float(eps), hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
         direct_g=direct_g, g_rows=g_rows,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)),
-        have_c=have_c)
+        have_c=have_c, fuse_epi=fuse_epi)
 
+    acc_rows = hbe if fuse_epi else hb
     scratch = [
         pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera band
         pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
         g_scratch,                                        # cotangent
         pltpu.VMEM((hbe, woe), camera.dtype),             # gr (zero halo)
-        pltpu.VMEM((hbe, wo), camera.dtype),              # Σx (center)
+        pltpu.VMEM((hbe, wo), camera.dtype),              # Σx / μx
         pltpu.VMEM((hbe, wo), camera.dtype),              # ex2 (center)
         pltpu.VMEM((hbe, syw), camera.dtype),             # μy
         pltpu.VMEM((hbe, syw), camera.dtype),             # ey2
         pltpu.VMEM((hb, wo), camera.dtype),               # A1 acc
-        pltpu.VMEM((hb, wo), camera.dtype),               # B acc
-        pltpu.VMEM((hb, wo), camera.dtype),               # GRMU acc
+        pltpu.VMEM((acc_rows, wo), camera.dtype),         # B acc
+        pltpu.VMEM((acc_rows, wo), camera.dtype),         # GRMU acc
         pltpu.SemaphoreType.DMA((6 if have_c else 4,)),
     ]
     inputs = (cam_p, proj_p, g_src)
     if have_c:
-        scratch.insert(3, pltpu.VMEM((2, hb, dt, wo),
+        c_rows = hbe + 2 * p if fuse_epi else hb
+        scratch.insert(3, pltpu.VMEM((2, c_rows, dt, wo),
                                      camera.dtype))       # c tile (2 slots)
         inputs = (cam_p, proj_p, g_src, cost)
 
     map_shape = jax.ShapeDtypeStruct((h_pad, wo), camera.dtype)
     map_spec = pl.BlockSpec((hb, wo), lambda h, d: (h, 0),
                             memory_space=pltpu.VMEM)
-    a1, b, grmu = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_h, n_d),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(inputs),
-        out_specs=(map_spec, map_spec, map_spec),
-        out_shape=(map_shape, map_shape, map_shape),
+        out_specs=map_spec if fuse_epi else (map_spec,) * 3,
+        out_shape=map_shape if fuse_epi else (map_shape,) * 3,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * (2 if have_c else 4) * k * H * W * (D + 1),
@@ -373,6 +429,10 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
         interpret=interpret,
     )(*inputs)
 
+    if fuse_epi:
+        # The kernel emitted the finished gradient.
+        return out[:H, :W]
+    a1, b, grmu = out
     a1 = a1[:H, :W]
     b = b[:H, :W]
     grmu = grmu[:H, :W]

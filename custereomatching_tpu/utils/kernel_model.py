@@ -682,15 +682,15 @@ def volume_forward_cost(H: int, W: int, D: int, k: int,
 
 
 def volume_backward_cost(H: int, W: int, D: int, k: int,
-                         hb: int = 64, dt: int = 8,
+                         hb: int = 48, dt: int = 8,
                          with_cost: bool = True) -> OpCount:
     """Op/byte counts of the direct-DMA volume backward
     (ops/pallas_zncc_bwd.py::_bwd_kernel, ``have_c=with_cost``)."""
     p = k // 2
     hb = _round_up(hb, 8)
     # Mirror _run_bwd's clamp against the padded-HDW cotangent extent
-    # (the volume forward tiles 48 rows): shipped hb=40 runs 32 at
-    # KITTI height.
+    # (the volume forward tiles 48 rows; the shipped hb=48 divides it
+    # exactly at KITTI height).
     g_rows = _round_up(H, 48)
     while hb > 8 and -(-H // hb) * hb > max(g_rows, H):
         hb -= 8
@@ -720,18 +720,28 @@ def volume_backward_cost(H: int, W: int, D: int, k: int,
     per_plane = per_plane + OpCount(madd=2 * hbe * wo)        # mask, gr store
     per_plane = per_plane + _box_ops(k, hbe, hb, woe, wo)     # box(gr)
     per_plane = per_plane + OpCount(lshift=2 * hb * wo)       # a1 += ·psh
-    b_ops = 4 if with_cost else 5
-    per_plane = per_plane + OpCount(madd=b_ops * hb * wo)     # B, GRMU
+    if with_cost:
+        # Fused-epilogue form: c mask + B/GRMU at the EXTENDED extent.
+        per_plane = per_plane + OpCount(madd=5 * hbe * wo)
+        per_plane = per_plane + OpCount(lshift=2 * hbe * wo)  # grmu ·syb
+    else:
+        per_plane = per_plane + OpCount(madd=5 * hb * wo)     # B, GRMU
 
     tile = per_plane.scaled(D + 1)
     tile = tile + _stats_ops(k, band_rows, hbe, wcc, woe, pw, syw)
     tile = tile + _roll_ops(band_rows, pw, hbe, syw).scaled(n_d)
+    if with_cost:
+        # In-kernel gradient-combine epilogue: three staged boxes +
+        # combine (the no-cost path keeps the XLA epilogue, unpriced).
+        tile = tile + _box_ops(k, hbe, hb, woe, wo).scaled(3)
+        tile = tile + OpCount(madd=4 * hbe * wo + 3 * hb * wo,
+                              lshift=hb * wo)
 
     total = tile.scaled(n_h)
     g_bytes = n_h * hbe * n_planes * wo * 4                   # cotangent DMA
-    c_bytes = n_h * hb * n_planes * wo * 4 if with_cost else 0
+    c_bytes = n_h * hbe * n_planes * wo * 4 if with_cost else 0
     total.bytes_r = n_h * band_rows * (wcc + pw) * 4 + g_bytes + c_bytes
-    total.bytes_w = 3 * n_h * hb * wo * 4
+    total.bytes_w = (1 if with_cost else 3) * n_h * hb * wo * 4
     total.bytes = total.bytes_r + total.bytes_w
     return total
 
