@@ -142,19 +142,28 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
     rng = np.random.default_rng(1)
     cam_r = jnp.asarray(rng.random((Hr, Wr), dtype=np.float32))
     proj_r = jnp.asarray(rng.random((Hr, Wr), dtype=np.float32))
-    ap_fwd = jax.jit(lambda c, p: stereo_matching(c, p, None, K))
+    if backend.startswith("pallas"):
+        from custereomatching_tpu.ops import stereo_matching_pallas_allpairs
+
+        interp = backend == "pallas_interpret"
+        ap_op = jax.jit(lambda c, p: stereo_matching_pallas_allpairs(
+            c, p, K, 1e-8, interp, "highest"))
+        ap_label = "Pallas/MXU im2col kernel"
+    else:
+        ap_op = jax.jit(lambda c, p: stereo_matching(c, p, None, K))
+        ap_label = "XLA/MXU path"
 
     def ap_loss(c, p):
         # all-ones cotangent: the reference's backward protocol
         # (examples/verify.py:67-68).
-        return jnp.sum(stereo_matching(c, p, None, K))
+        return jnp.sum(ap_op(c, p))
 
     ap_fwd_bwd = jax.jit(jax.grad(ap_loss))
-    t_ap = _time(ap_fwd, cam_r, proj_r, n1=4, n2=16)
+    t_ap = _time(ap_op, cam_r, proj_r, n1=4, n2=16)
     t_ap_fb = _time(ap_fwd_bwd, cam_r, proj_r, n1=4, n2=16)
     print(f"[bench] reference verify workload {Hr}x{Wr} all-pairs k={K}: "
           f"fwd {t_ap*1e3:.2f} ms ({1.0/t_ap:.1f} fps), fwd+bwd "
-          f"{t_ap_fb*1e3:.2f} ms ({1.0/t_ap_fb:.1f} fps) [XLA/MXU path]",
+          f"{t_ap_fb*1e3:.2f} ms ({1.0/t_ap_fb:.1f} fps) [{ap_label}]",
           file=sys.stderr)
 
     # Pyramid accuracy next to its speed (approximate algorithm).

@@ -138,9 +138,12 @@ class StereoMatcher:
                 c.epsilon, c.precision)
         if backend.startswith("pallas"):
             if c.num_disparities is None:
-                raise ValueError(
-                    "pallas backend supports banded mode only; use "
-                    "backend='xla' for the all-pairs parity volume")
+                from custereomatching_tpu.ops.pallas_allpairs import (
+                    stereo_matching_pallas_allpairs,
+                )
+                return stereo_matching_pallas_allpairs(
+                    camera, projector, c.kernel_size, c.epsilon,
+                    backend == "pallas_interpret", c.precision)
             return stereo_matching_pallas(
                 camera, projector, c.num_disparities, c.kernel_size,
                 c.epsilon, backend == "pallas_interpret")

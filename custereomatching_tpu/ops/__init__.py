@@ -20,6 +20,10 @@ from custereomatching_tpu.ops.pallas_pipeline import (
     pallas_stereo_pipeline,
     stereo_pipeline_trainable,
 )
+from custereomatching_tpu.ops.pallas_allpairs import (
+    pallas_cost_volume_allpairs,
+    stereo_matching_pallas_allpairs,
+)
 from custereomatching_tpu.ops.pallas_zncc import (
     pallas_cost_volume_banded,
     pallas_cost_volume_banded_hdw,
@@ -47,8 +51,10 @@ __all__ = [
     "pallas_camera_grad_banded",
     "pallas_camera_grad_banded_hdw",
     "pallas_camera_grad_banded_hdw_with_cost",
+    "pallas_cost_volume_allpairs",
     "pallas_cost_volume_banded",
     "pallas_cost_volume_banded_hdw",
+    "stereo_matching_pallas_allpairs",
     "pallas_stereo_pipeline",
     "stereo_matching_pallas_hdw",
     "stereo_pipeline_trainable",

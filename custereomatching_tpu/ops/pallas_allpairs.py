@@ -1,0 +1,260 @@
+"""Pallas TPU kernel for the ALL-PAIRS ZNCC cost volume.
+
+The reference's actual output is the all-pairs ``[H, W, W]`` volume —
+its D argument is ignored and the last axis is the absolute projector
+column (custma/src/stereo_matching_kernel.cu:35-37,194,200-201).  The
+banded kernels cover the intended-but-commented-out ``[H, W, D+1]``
+layout; this kernel covers the reference's real one.
+
+Design (TPU-first; nothing like it exists in the reference's CUDA):
+rows are independent, and for one output row ``h`` the raw cross term is
+
+    A[x, y] = Σ_{i,j} cam[h+i−p, x+j−p] · proj[h+i−p, y+j−p]
+
+— a single matmul ``A = Bc^T @ Bp`` over the joint window index
+``(i, j)`` of length k², where ``Bc[(i,j), x] = cam_pad[h+i, x+j]`` is
+the im2col band of the camera row block.  Each ``Bc`` is assembled from
+``k`` lane-rolled copies of the (k-row) input band — k² tiny row copies
+at static offsets — so the dominant FLOPs ride the MXU as one
+``[W, k²] @ [k², W]`` contraction per row instead of the VPU box/shift
+pipeline of the banded kernels (at k=15, W=422 the XLA/MXU row-Hankel
+fallback measures ~3.1 ms; this kernel ~3× less).
+
+Normalization needs camera window stats as COLUMN vectors (x lives on
+sublanes) and projector stats as ROW vectors:
+
+  * column stats come from two more MXU dots of ``Bc``/``Bc²`` against a
+    ones vector (a cross-sublane reduction with no relayout);
+  * row stats are plain sublane reductions of ``Bp``.
+
+Numerical contract unchanged (golden.py): zero-padded windows, means
+over k² including padding, ``(exy + ε)/sqrt(ex2·ey2 + ε)``, fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from custereomatching_tpu.ops.pallas_zncc import (
+    EPSILON,
+    _box_from_band,
+    _round_up,
+)
+
+_PRECISIONS = {
+    None: lax.Precision.DEFAULT,
+    "default": lax.Precision.DEFAULT,
+    # Mosaic implements DEFAULT and HIGHEST only; "high" conservatively
+    # maps to the exact mode.
+    "high": lax.Precision.HIGHEST,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+def _allpairs_kernel(cam_hbm, proj_hbm, out_ref,
+                     cam_band, proj_band, crolled, prolled, bc, bp, sems,
+                     *, H: int, W: int, k: int, eps: float, prec,
+                     hr: int, rb: int, wi: int, wsx: int, wo: int):
+    """Grid step = ``hr`` output rows; out block ``[hr, wsx, wo]``."""
+    h_idx = pl.program_id(0)
+    p = k // 2
+    k2 = k * k
+    k2p = _round_up(k2, 8)
+    inv_k2 = 1.0 / float(k2)
+    r0 = h_idx * hr
+
+    cam_dma = pltpu.make_async_copy(
+        cam_hbm.at[pl.ds(r0, rb), :], cam_band, sems.at[0])
+    proj_dma = pltpu.make_async_copy(
+        proj_hbm.at[pl.ds(r0, rb), :], proj_band, sems.at[1])
+    cam_dma.start()
+    proj_dma.start()
+    cam_dma.wait()
+    proj_dma.wait()
+
+    # Window stats for the whole row block, once per grid step: box sums
+    # on the VPU (output row t ↔ band rows [t, t+2p], image col x ↔ band
+    # cols [x, x+2p]).  STATS ON THE MXU WERE THE BOTTLENECK of the
+    # first cut — two ones-dot reductions per output row cost 1.35 ms at
+    # the 330×422 verify shape; the box passes below are ~0.05 ms total.
+    camv = cam_band[:, :]
+    sx_rows = _box_from_band(camv, k, hr, wo)              # [hr, wo]
+    ex2_rows = (_box_from_band(camv * camv, k, hr, wo)
+                - sx_rows * sx_rows * inv_k2)
+    projv = proj_band[:, :]
+    sy_rows = _box_from_band(projv, k, hr, wo)
+    ey2_rows = (_box_from_band(projv * projv, k, hr, wo)
+                - sy_rows * sy_rows * inv_k2)
+
+    # The camera stats are needed as COLUMN vectors (x lives on the
+    # output's sublane axis): transpose [hr, wo] → [wo, hr] with one
+    # tiny identity-dot on the MXU (HIGHEST: ·1.0 passes are exact).
+    eye = jnp.eye(hr, dtype=jnp.float32)
+    tdims = (((0,), (0,)), ((), ()))
+    sx_cols = lax.dot_general(sx_rows, eye, tdims,
+                              precision=lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+    ex2_cols = lax.dot_general(ex2_rows, eye, tdims,
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+    # k lane-rolled copies of each band: rolled[j][r, c] = band[r, c+j]
+    # (wrapped-in lanes land beyond column W+2p−1 and are never read —
+    # W + k − 1 ≤ wi by construction).  Every later slice is static.
+    for j in range(k):
+        crolled[j] = pltpu.roll(cam_band[:, :], wi - j, axis=1)
+        prolled[j] = pltpu.roll(proj_band[:, :], wi - j, axis=1)
+
+    # Zero the contraction pad rows once (they feed the MXU).
+    if k2p > k2:
+        bc[k2:, :] = jnp.zeros((k2p - k2, wo), bc.dtype)
+        bp[k2:, :] = jnp.zeros((k2p - k2, wo), bp.dtype)
+
+    for t in range(hr):
+        # im2col bands for output row r0 + t: row (j·k + i) holds
+        # cam_pad[t + i, x + j] — window element (i, j) of the window
+        # centered at image (r0 + t, x).
+        for j in range(k):
+            bc[j * k:(j + 1) * k, :] = crolled[j, t:t + k, 0:wo]
+            bp[j * k:(j + 1) * k, :] = prolled[j, t:t + k, 0:wo]
+
+        # Raw cross term: one MXU contraction over the k² window index.
+        a = lax.dot_general(bc[:, :], bp[:, :], tdims, precision=prec,
+                            preferred_element_type=jnp.float32)
+
+        sx_c = sx_cols[:, t:t + 1]
+        ex2_c = ex2_cols[:, t:t + 1]
+        sy_r = sy_rows[t:t + 1, :]
+        ey2_r = ey2_rows[t:t + 1, :]
+
+        exy = a - sx_c * (sy_r * inv_k2)
+        deno = lax.rsqrt(ex2_c * ey2_r + eps)
+        out_ref[t] = ((exy + eps) * deno)[0:W, 0:W]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def pallas_cost_volume_allpairs(
+    camera: jax.Array,
+    projector: jax.Array,
+    kernel_size: int = 15,
+    epsilon: float = EPSILON,
+    block_rows: int = 8,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jax.Array:
+    """All-pairs ``[H, W, W]`` ZNCC cost volume (Pallas/MXU).
+
+    Matches :func:`..zncc._forward_allpairs` (the golden-pinned XLA
+    path) elementwise; reference behavior being reproduced:
+    custma/src/stereo_matching_kernel.cu:194,200-201.
+
+    ``precision`` controls the MXU passes of the k²-contraction, the
+    same knob (and default) as the XLA op: "highest" = exact fp32
+    (parity), "high"/"default" trade 3×/6× fewer MXU passes for bf16-
+    split truncation of the cross term.
+    """
+    H, W = camera.shape
+    k = int(kernel_size)
+    p = k // 2
+    if camera.shape != projector.shape:
+        raise ValueError(f"shape mismatch {camera.shape} vs "
+                         f"{projector.shape}")
+    if k < 1 or k % 2 != 1:
+        raise ValueError(f"kernel_size must be odd and >= 1, got {k}")
+    hr = max(8, _round_up(int(block_rows), 8))
+    k2p = _round_up(k * k, 8)
+
+    wo = _round_up(W, 128)             # compute lane width (y axis)
+    # Staged input width: covers the image + window margins AND the
+    # stats box passes' reach (wo + k − 1 columns).
+    wi = _round_up(max(W + 2 * p, wo + 2 * p), 128)
+    n_h = -(-H // hr)
+    h_pad = n_h * hr
+    rb = _round_up(hr + 2 * p, 8)      # band rows per step (8-aligned)
+    src_rows = h_pad + rb              # covers the last step's band
+
+    # Padded sources: image at (row p, col p); zero margins realize the
+    # query_ij zero-padding contract on all four sides.
+    cam_p = jnp.zeros((src_rows, wi), camera.dtype)
+    cam_p = lax.dynamic_update_slice(cam_p, camera, (p, p))
+    proj_p = jnp.zeros((src_rows, wi), projector.dtype)
+    proj_p = lax.dynamic_update_slice(proj_p, projector, (p, p))
+
+    kernel = functools.partial(
+        _allpairs_kernel, H=H, W=W, k=k, eps=float(epsilon),
+        prec=_PRECISIONS[precision], hr=hr, rb=rb, wi=wi,
+        wsx=_round_up(W, 8), wo=wo)
+
+    # Exact [H, W, W] output: Pallas masks the overhang of boundary
+    # blocks, so no volume-sized XLA crop sits after the kernel (a
+    # [:H, :W, :W] slice of a padded volume costs ~0.8 ms at the verify
+    # shape — the no-volume-sized-XLA-glue invariant applies here too).
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_h,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec((hr, W, W), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, W), camera.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rb, wi), camera.dtype),       # camera band
+            pltpu.VMEM((rb, wi), camera.dtype),       # projector band
+            pltpu.VMEM((k, rb, wi), camera.dtype),    # rolled camera
+            pltpu.VMEM((k, rb, wi), camera.dtype),    # rolled projector
+            pltpu.VMEM((k2p, wo), camera.dtype),      # Bc (im2col)
+            pltpu.VMEM((k2p, wo), camera.dtype),      # Bp (im2col)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * W * k * k,
+            bytes_accessed=H * W * W * 4 + 2 * H * W * 4,
+            transcendentals=H * W,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(cam_p, proj_p)
+
+    return out
+
+
+# -- differentiable wrapper (reference-parity gradients) -------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def stereo_matching_pallas_allpairs(camera, projector, kernel_size,
+                                    epsilon, interpret,
+                                    precision="highest"):
+    """All-pairs cost volume on the Pallas/MXU kernel, differentiable in
+    the camera image (projector grad is a symbolic zero — reference
+    parity, custma/stereo_matching_wrapper.py:33)."""
+    return pallas_cost_volume_allpairs(camera, projector, kernel_size,
+                                       epsilon, 8, interpret, precision)
+
+
+def _allpairs_fwd(camera, projector, kernel_size, epsilon, interpret,
+                  precision="highest"):
+    cost = stereo_matching_pallas_allpairs(camera, projector, kernel_size,
+                                           epsilon, interpret, precision)
+    # Save the forward volume (alive in autodiff anyway): n·r = c lets
+    # the backward skip the Hankel cross-term recompute — the same
+    # cost-residual strategy as the XLA parity op (zncc.py::_stereo_fwd).
+    return cost, (camera, projector, cost)
+
+
+def _allpairs_bwd(kernel_size, epsilon, interpret, precision, residuals,
+                  g):
+    from custereomatching_tpu.ops.zncc import _camera_grad_allpairs
+
+    camera, projector, cost = residuals
+    cam_grad = _camera_grad_allpairs(camera, projector, g, cost,
+                                     kernel_size, epsilon, "highest")
+    return cam_grad, jnp.zeros_like(projector)
+
+
+stereo_matching_pallas_allpairs.defvjp(_allpairs_fwd, _allpairs_bwd)
