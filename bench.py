@@ -161,9 +161,27 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
     ap_fwd_bwd = jax.jit(jax.grad(ap_loss))
     t_ap = _time(ap_op, cam_r, proj_r, n1=4, n2=16)
     t_ap_fb = _time(ap_fwd_bwd, cam_r, proj_r, n1=4, n2=16)
+    ap_bound = ""
+    if backend.startswith("pallas"):
+        try:
+            from custereomatching_tpu.utils import (
+                allpairs_forward_cost,
+                kernel_bound,
+                measure_vpu_rates,
+            )
+
+            r = measure_vpu_rates(measure_if_missing=False)
+            if r is not None and r.get("mxuhi"):
+                b = kernel_bound(allpairs_forward_cost(Hr, Wr, K),
+                                 r)["bound_s"]
+                ap_bound = (f"; fwd bound {b*1e3:.2f} ms -> "
+                            f"{b/t_ap*100:.1f}% achieved")
+        except Exception:
+            pass
     print(f"[bench] reference verify workload {Hr}x{Wr} all-pairs k={K}: "
           f"fwd {t_ap*1e3:.2f} ms ({1.0/t_ap:.1f} fps), fwd+bwd "
-          f"{t_ap_fb*1e3:.2f} ms ({1.0/t_ap_fb:.1f} fps) [{ap_label}]",
+          f"{t_ap_fb*1e3:.2f} ms ({1.0/t_ap_fb:.1f} fps) "
+          f"[{ap_label}{ap_bound}]",
           file=sys.stderr)
 
     # Pyramid accuracy next to its speed (approximate algorithm).

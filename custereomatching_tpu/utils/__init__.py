@@ -11,6 +11,7 @@ from custereomatching_tpu.utils.metrics import (
     end_point_error,
 )
 from custereomatching_tpu.utils.kernel_model import (
+    allpairs_forward_cost,
     fused_backward_c_cost,
     fused_backward_cost,
     fused_forward_cost,
@@ -35,6 +36,7 @@ __all__ = [
     "device_specs",
     "disparity_metrics",
     "end_point_error",
+    "allpairs_forward_cost",
     "fused_backward_c_cost",
     "fused_backward_cost",
     "fused_forward_cost",

@@ -40,7 +40,8 @@ _CACHE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "..", "vpu_rates.json")
 
-_OP_MODES = ("madd", "lshift", "sshift", "exp", "rsqrt", "boxadd")
+_OP_MODES = ("madd", "lshift", "sshift", "exp", "rsqrt", "boxadd",
+             "mxuhi")
 # Measured DMA rates (seconds per byte) for the kernels' two bulk HBM
 # access patterns: 3D tile reads ([rows, dt, W] slices of a volume, the
 # backward's cotangent/cost stream) and 3D tile writes (the forward's
@@ -98,6 +99,17 @@ def _rate_kernel(out_ref, acc, wide, *, mode: str, inner: int, rows: int,
             off = i % 8
             band = wide[off:off + rows + 14, :cols + 128]
             a = a * 0.9996 + _box_from_band(band, 15, rows, cols)
+        elif mode == "mxuhi":
+            # Exact-fp32 (HIGHEST, 6 bf16 passes) MXU contraction at the
+            # all-pairs kernel's geometry: [256, cols]^T @ [256, cols].
+            # Rate is seconds per NOMINAL f32 flop (the multi-pass cost
+            # is inside the rate, as it is inside the kernels priced
+            # with it).
+            b = a[0:256, :]
+            a = lax.dot_general(
+                b, b, (((0,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) * (1.0 / 256.0)
     acc[:, :] = a
 
     @pl.when(g == pl.num_programs(0) - 1)
@@ -141,6 +153,9 @@ def _run_rate(mode: str, *, rows: int = 32, cols: int = 1280,
 
     if mode == "boxadd":
         inner, grid = 6, 768
+    elif mode == "mxuhi":
+        rows = cols = 512
+        inner, grid = 4, 64
     fn = _rate_call(mode, inner, rows, cols, grid, ilp, interpret)
 
     def _fence(x):
@@ -164,6 +179,8 @@ def _run_rate(mode: str, *, rows: int = 32, cols: int = 1280,
         # (same counting the cost models use), plus the madd combine.
         per_box = _box_tree_elems(15, rows + 14, rows, cols + 128, cols)
         elems = grid * inner * (per_box + rows * cols)
+    elif mode == "mxuhi":
+        elems = grid * inner * 2 * cols * cols * 256   # nominal f32 flops
     else:
         elems = grid * inner * rows * cols
     return max(per_call, 1e-12) / elems
@@ -317,21 +334,29 @@ def measure_vpu_rates(force: bool = False,
         except Exception:
             cache = {}
     have = cache.get(kind, {})
+    missing_op = [m for m in _OP_MODES if m not in have]
     missing_dma = [m for m in _DMA_MODES if m not in have]
-    if not force and kind in cache and not missing_dma:
+    if not force and kind in cache and not (missing_op or missing_dma):
         return dict(have)
     if not measure_if_missing and not force:
-        # A compute-only cache (written before the DMA classes existed)
-        # is still usable: kernel_bound falls back to the datasheet
-        # bandwidth for the memory leg.
+        # A partial cache (written before newer classes existed) is
+        # still usable: pricing skips zero-count classes and
+        # kernel_bound falls back to datasheet bandwidth for the memory
+        # leg.
         return dict(have) if kind in cache else None
     if not force and kind in cache:
-        # Top up a pre-DMA-era cache without redoing the compute classes.
+        # Top up an older cache without redoing the existing classes.
         rates = dict(have)
-        dma_rounds = [{m: _run_dma_rate(m) for m in missing_dma}
-                      for _ in range(3)]
-        rates.update({m: sorted(r[m] for r in dma_rounds)[1]
-                      for m in missing_dma})
+        if missing_op:
+            op_rounds = [{m: _run_rate(m) for m in missing_op}
+                         for _ in range(3)]
+            rates.update({m: sorted(r[m] for r in op_rounds)[1]
+                          for m in missing_op})
+        if missing_dma:
+            dma_rounds = [{m: _run_dma_rate(m) for m in missing_dma}
+                          for _ in range(3)]
+            rates.update({m: sorted(r[m] for r in dma_rounds)[1]
+                          for m in missing_dma})
         cache[kind] = rates
         try:
             with open(path, "w") as f:
@@ -392,7 +417,9 @@ class OpCount(dict):
         return out
 
     def time(self, rates: Dict[str, float], hbm_bw: float) -> Dict[str, float]:
-        t_c = sum(self[m] * rates[m] for m in _OP_MODES)
+        # Zero-count classes are skipped so an older rate cache (missing
+        # a newer class) still prices every kernel that does not use it.
+        t_c = sum(self[m] * rates[m] for m in _OP_MODES if self[m])
         if (self.bytes_r + self.bytes_w > 0
                 and all(m in rates for m in _DMA_MODES)):
             t_m = (self.bytes_r * rates["hbm_r3d"]
@@ -746,6 +773,45 @@ def volume_backward_cost(H: int, W: int, D: int, k: int,
     return total
 
 
+def allpairs_forward_cost(H: int, W: int, k: int, hr: int = 8) -> OpCount:
+    """Op/byte counts of the Pallas/MXU all-pairs forward
+    (ops/pallas_allpairs.py::_allpairs_kernel): per output row one
+    k²-contraction matmul over im2col bands (HIGHEST precision — the
+    ``mxuhi`` class carries the multi-pass cost), im2col staging copies,
+    ~5 broadcast normalization passes; per grid step the band rolls,
+    stats boxes, and the identity-dot transposes."""
+    p = k // 2
+    hr = max(8, _round_up(hr, 8))
+    k2 = k * k
+    k2p = _round_up(k2, 8)
+    wo = _round_up(max(W, 128), 128)
+    wi = _round_up(max(W + 2 * p, wo + 2 * p), 128)
+    rb = _round_up(hr + 2 * p, 8)
+    n_h = -(-H // hr)
+
+    per_row = OpCount()
+    # Main contraction: nominal flops at the MXU's 256-padded depth
+    # (the measured mxuhi rate is normalized the same way).
+    per_row = per_row + OpCount(mxuhi=2 * wo * wo * _round_up(k2p, 256))
+    # im2col staging: 2·k copies of [k, wo] at sublane offsets.
+    per_row = per_row + OpCount(sshift=2 * k2 * wo)
+    # Normalization: exy, deno product, combine (+ the rsqrt).
+    per_row = per_row + OpCount(madd=5 * wo * wo, rsqrt=wo * wo)
+
+    per_step = OpCount()
+    per_step = per_step + OpCount(lshift=2 * k * rb * wi)    # band rolls
+    per_step = per_step + _box_ops(k, rb, hr, wi, wo).scaled(4)
+    per_step = per_step + OpCount(madd=4 * hr * wo)          # moments
+    per_step = per_step + OpCount(
+        mxuhi=2 * 2 * wo * hr * _round_up(hr, 256))          # transposes
+
+    total = per_row.scaled(H) + per_step.scaled(n_h)
+    total.bytes_r = n_h * 2 * rb * wi * 4
+    total.bytes_w = H * W * W * 4                            # exact volume
+    total.bytes = total.bytes_r + total.bytes_w
+    return total
+
+
 def kernel_bound(cost: OpCount, rates: Optional[Dict[str, float]] = None,
                  hbm_bw: Optional[float] = None) -> Dict[str, float]:
     """Bound (seconds / fps) of a counted kernel on this device."""
@@ -760,6 +826,7 @@ def kernel_bound(cost: OpCount, rates: Optional[Dict[str, float]] = None,
     return out
 
 
-__all__ = ["OpCount", "fused_forward_cost", "fused_backward_c_cost",
-           "fused_backward_cost", "volume_forward_cost",
-           "volume_backward_cost", "kernel_bound", "measure_vpu_rates"]
+__all__ = ["OpCount", "allpairs_forward_cost", "fused_forward_cost",
+           "fused_backward_c_cost", "fused_backward_cost",
+           "volume_forward_cost", "volume_backward_cost", "kernel_bound",
+           "measure_vpu_rates"]
