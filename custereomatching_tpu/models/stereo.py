@@ -160,8 +160,7 @@ class StereoMatcher:
         batching rule for the hand-rolled DMA kernel); the XLA backend
         vmaps.
         """
-        if (self.config.resolved_backend().startswith("pallas")
-                and self.config.num_disparities is not None):
+        if self.config.resolved_backend().startswith("pallas"):
             return jax.lax.map(
                 lambda cp: self.cost_volume_single(cp[0], cp[1]),
                 (camera, projector))

@@ -82,3 +82,23 @@ def test_rejects_bad_kernel_size():
     cam, proj = _pair(8, 32)
     with pytest.raises(ValueError, match="odd"):
         pallas_cost_volume_allpairs(cam, proj, 4, 1e-8, 8, True)
+
+
+def test_batched_allpairs_on_pallas_backend():
+    """Batched cost_volume must lax.map the kernel (vmap of a pallas_call
+    has no batching rule)."""
+    from custereomatching_tpu import StereoConfig, StereoMatcher
+
+    H, W, K, B = 16, 64, 5, 2
+    rng = np.random.default_rng(7)
+    cam = jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32)
+    proj = jnp.asarray(rng.standard_normal((B, H, W)), jnp.float32)
+    m_pl = StereoMatcher(StereoConfig(kernel_size=K, num_disparities=None,
+                                      backend="pallas_interpret"))
+    m_x = StereoMatcher(StereoConfig(kernel_size=K, num_disparities=None,
+                                     backend="xla"))
+    got = m_pl.cost_volume(cam, proj)
+    want = m_x.cost_volume(cam, proj)
+    assert got.shape == (B, H, W, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
