@@ -155,7 +155,15 @@ def main() -> int:
             cv_xla = jax.block_until_ready(
                 stereo_matching(cam, proj, None, K))
         ok &= check("xla vs golden", cv_xla, cv_gold, 1e-4, 1e-5)
-        del cv_gold, cv_xla
+        del cv_xla
+        from custereomatching_tpu.ops import stereo_matching_pallas_allpairs
+
+        with Timer("  pallas fwd {:.3f}s"):
+            cv_pl_ap = jax.block_until_ready(stereo_matching_pallas_allpairs(
+                cam, proj, K, 1e-8, args.interpret))
+        ok &= check("pallas all-pairs vs golden", cv_pl_ap, cv_gold,
+                    1e-4, 1e-5)
+        del cv_gold, cv_pl_ap
         g_gold = jax.block_until_ready(zncc_camera_grad(
             cam, proj, jnp.ones((H, W, W), jnp.float32), None, K))
         g_xla = jax.grad(
