@@ -45,11 +45,14 @@ class StereoConfig:
       precision: "highest" forces fp32 MXU accumulation for parity with the
         reference's fp32 CUDA accumulators; "default" permits bf16 passes.
       backend: which forward implementation the model layer uses.
-        "pallas" — the hand-written TPU kernel (banded mode only);
+        "pallas" — the hand-written TPU kernels (banded mode AND, since
+        round 3, the all-pairs mode via the MXU im2col kernel, which
+        itself falls back to XLA at widths whose [hr, W, W] output
+        block cannot fit VMEM);
         "xla" — the fused XLA moments formulation;
-        "pallas_interpret" — the kernel under the Pallas interpreter
+        "pallas_interpret" — the kernels under the Pallas interpreter
         (CPU testing / sanitizer mode, survey §5.2);
-        "auto" — pallas on TPU in banded mode, xla otherwise.
+        "auto" — pallas on TPU, xla otherwise.
     """
 
     kernel_size: int = 15
@@ -97,8 +100,6 @@ class StereoConfig:
         """Resolve "auto" to a concrete backend for the current platform."""
         if self.backend != "auto":
             return self.backend
-        if self.num_disparities is None:
-            return "xla"  # all-pairs parity mode is MXU-structured XLA
         import jax  # local: config must stay importable without device init
 
         try:

@@ -60,8 +60,9 @@ _PRECISIONS = {
 def _allpairs_kernel(cam_hbm, proj_hbm, out_ref,
                      cam_band, proj_band, crolled, prolled, bc, bp, sems,
                      *, H: int, W: int, k: int, eps: float, prec,
-                     hr: int, rb: int, wi: int, wsx: int, wo: int):
-    """Grid step = ``hr`` output rows; out block ``[hr, wsx, wo]``."""
+                     hr: int, rb: int, wi: int, wo: int):
+    """Grid step = ``hr`` output rows; out block ``[hr, W, W]`` (the
+    exact output shape — Pallas masks the last step's row overhang)."""
     h_idx = pl.program_id(0)
     p = k // 2
     k2 = k * k
@@ -168,6 +169,15 @@ def pallas_cost_volume_allpairs(
     if k < 1 or k % 2 != 1:
         raise ValueError(f"kernel_size must be odd and >= 1, got {k}")
     hr = max(8, _round_up(int(block_rows), 8))
+    # The output travels as [hr, W, W] VMEM blocks (double-buffered by
+    # the out_specs pipeline); at large widths that cannot fit the
+    # scoped-VMEM limit, so fall back to the XLA row-Hankel path — same
+    # math, golden-pinned (e.g. KITTI W=1242: 8·W²·4 ≈ 49 MB/block).
+    if 2 * hr * W * W * 4 > 32 * 2**20:
+        from custereomatching_tpu.ops.zncc import _forward_allpairs
+
+        return _forward_allpairs(camera, projector, k, epsilon,
+                                 precision)
     k2p = _round_up(k * k, 8)
 
     wo = _round_up(W, 128)             # compute lane width (y axis)
@@ -188,8 +198,7 @@ def pallas_cost_volume_allpairs(
 
     kernel = functools.partial(
         _allpairs_kernel, H=H, W=W, k=k, eps=float(epsilon),
-        prec=_PRECISIONS[precision], hr=hr, rb=rb, wi=wi,
-        wsx=_round_up(W, 8), wo=wo)
+        prec=_PRECISIONS[precision], hr=hr, rb=rb, wi=wi, wo=wo)
 
     # Exact [H, W, W] output: Pallas masks the overhang of boundary
     # blocks, so no volume-sized XLA crop sits after the kernel (a
@@ -253,7 +262,7 @@ def _allpairs_bwd(kernel_size, epsilon, interpret, precision, residuals,
 
     camera, projector, cost = residuals
     cam_grad = _camera_grad_allpairs(camera, projector, g, cost,
-                                     kernel_size, epsilon, "highest")
+                                     kernel_size, epsilon, precision)
     return cam_grad, jnp.zeros_like(projector)
 
 

@@ -22,8 +22,10 @@ volume-sized work — by rematerializing the forward statistics per tile
 (the residuals are just the two images, matching the reference's
 ``ctx.save_for_backward``, custma/stereo_matching_wrapper.py:16) and
 folding each cotangent plane into accumulators as it streams in.  The
-final three ``[H, W]`` box filters run in XLA (they are ~0.1% of the
-work).
+with-cost path finishes the gradient combine in-kernel (extended-row
+accumulators, one output map); the no-cost remat path emits the three
+partial fields and runs the final ``[H, W]`` box filters in XLA (~0.1%
+of its work).
 
 Because ``box2d(gr)`` at a tile's rows needs ``gr`` (hence the forward
 statistics) at rows ±k//2 around the tile, the per-tile recompute runs at
@@ -53,7 +55,7 @@ def _bwd_kernel(*refs,
                 D: int, k: int, eps: float, hb: int, dt: int,
                 wo: int, woe: int, wcc: int, pw: int, syw: int, lp: int,
                 direct_g: bool, g_rows: int, n_last: int,
-                have_c: bool, fuse_epi: bool):
+                have_c: bool):
     """``direct_g=False``: the cotangent source is pre-padded to band
     coordinates ``[src_rows, n_d·dt, wcc]`` (image at offset (2p, 0, 2p)).
     ``direct_g=True``: the cotangent is the kernel's own padded-HDW
@@ -78,16 +80,14 @@ def _bwd_kernel(*refs,
     traded for one aligned, correction-free DMA read of ``c``'s center
     rows.
     """
-    if fuse_epi:
-        # Single finished-gradient output: b/grmu accumulate at the
-        # EXTENDED row extent so the gradient-combine box filters run
-        # in-kernel with no cross-tile halo (the fused trainable
-        # backward's design, pallas_pipeline.py::_fused_bwd_c_kernel).
+    if have_c:
+        # have_c implies direct_g (enforced by _run_bwd), and the
+        # with-cost path always emits ONE finished gradient: b/grmu
+        # accumulate at the EXTENDED row extent so the gradient-combine
+        # box filters run in-kernel with no cross-tile halo (the fused
+        # trainable backward's design,
+        # pallas_pipeline.py::_fused_bwd_c_kernel).
         (cam_hbm, proj_hbm, g_hbm, c_hbm, grad_ref,
-         cam_vmem, proj_vmem, g_vmem, c_vmem, gr_scr, sx_scr, ex2_scr,
-         sy_scr, ey2_scr, a1_scr, b_scr, grmu_scr, sems) = refs
-    elif have_c:
-        (cam_hbm, proj_hbm, g_hbm, c_hbm, a1_ref, b_ref, grmu_ref,
          cam_vmem, proj_vmem, g_vmem, c_vmem, gr_scr, sx_scr, ex2_scr,
          sy_scr, ey2_scr, a1_scr, b_scr, grmu_scr, sems) = refs
     else:
@@ -118,10 +118,11 @@ def _bwd_kernel(*refs,
         sx = _box_from_band(cam, k, hbe, woe)
         ex2 = _box_from_band(cam * cam, k, hbe, woe) - sx * sx * inv_k2
         # Store only the aligned center columns (all elementwise uses).
-        # fuse_epi consumes sx only as μx in the in-kernel epilogue
-        # (the cost residual replaces the cross term), so pre-scale it;
-        # the no-cost path pairs RAW Σx with the pre-scaled μy.
-        sx_scr[:, :] = (sx[:, p:p + wo] * inv_k2 if fuse_epi
+        # The with-cost path consumes sx only as μx in the in-kernel
+        # epilogue (the cost residual replaces the cross term), so
+        # pre-scale it; the no-cost path pairs RAW Σx with the
+        # pre-scaled μy.
+        sx_scr[:, :] = (sx[:, p:p + wo] * inv_k2 if have_c
                         else sx[:, p:p + wo])
         ex2_scr[:, :] = ex2[:, p:p + wo]
         proj = proj_vmem[:, :]
@@ -131,7 +132,7 @@ def _bwd_kernel(*refs,
                          - sy * sy * inv_k2)
 
         a1_scr[:, :] = jnp.zeros((hb, wo), a1_scr.dtype)
-        acc_rows = hbe if fuse_epi else hb
+        acc_rows = hbe if have_c else hb
         b_scr[:, :] = jnp.zeros((acc_rows, wo), b_scr.dtype)
         grmu_scr[:, :] = jnp.zeros((acc_rows, wo), grmu_scr.dtype)
         # gr_scr's column margins are its box halo: zero once; the hot
@@ -163,18 +164,12 @@ def _bwd_kernel(*refs,
                 g_hbm.at[pl.ds(r0i, band_rows), pl.ds(di * dt, dt), :],
                 g_vmem.at[sl], sems.at[2 + sl]))
         if have_c:
-            if fuse_epi:
-                # Extended rows, same addressing as the cotangent: the
-                # ext-extent B term needs c at the halo rows too.
-                s0c = jnp.clip(r0i - p, 0, g_rows - hbe)
-                copies.append(pltpu.make_async_copy(
-                    c_hbm.at[pl.ds(s0c, hbe), pl.ds(di * dt, dt), :],
-                    c_vmem.at[sl, pl.ds(p, hbe)], sems.at[4 + sl]))
-            else:
-                copies.append(pltpu.make_async_copy(
-                    c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
-                             pl.ds(di * dt, dt), :],
-                    c_vmem.at[sl], sems.at[4 + sl]))
+            # Extended rows, same addressing as the cotangent: the
+            # ext-extent B term needs c at the halo rows too.
+            s0c = jnp.clip(r0i - p, 0, g_rows - hbe)
+            copies.append(pltpu.make_async_copy(
+                c_hbm.at[pl.ds(s0c, hbe), pl.ds(di * dt, dt), :],
+                c_vmem.at[sl, pl.ds(p, hbe)], sems.at[4 + sl]))
         return copies
 
     @pl.when(step == 0)
@@ -222,7 +217,7 @@ def _bwd_kernel(*refs,
         # elementwise op runs at the aligned width wo.
         ey2c = ey2b[:, c0 + p:c0 + p + wo]                  # [hbe, wo]
         r = lax.rsqrt(ex2 * ey2c + eps)
-        if not fuse_epi:
+        if not have_c:
             muy_c = syb[p:p + hb, c0 + p:c0 + p + wo]       # μy (scaled)
 
         if not have_c:
@@ -251,7 +246,7 @@ def _bwd_kernel(*refs,
         a1_scr[:, :] = a1_scr[:, :] + boxgr * psh[2 * p:2 * p + hb,
                                                   c0 + 2 * p:c0 + 2 * p + wo]
 
-        if fuse_epi:
+        if have_c:
             # b/grmu at the EXTENDED row extent: the in-kernel combine
             # boxes then need no cross-tile halo (rows outside the image
             # contribute exact zeros — the cotangent is zero there by
@@ -265,16 +260,9 @@ def _bwd_kernel(*refs,
                                                         c0 + p:c0 + p + wo]
             return
         r_c = r[p:p + hb, :]
-        if have_c:
-            # n·r³·ey2 = c·r²·ey2 with c the saved forward plane.
-            b_scr[:, :] = b_scr[:, :] + ((raw[p:p + hb, :]
-                                          * c_vmem[slot, :, j, :])
-                                         * ((r_c * r_c)
-                                            * ey2c[p:p + hb, :]))
-        else:
-            b_scr[:, :] = b_scr[:, :] + (raw[p:p + hb, :] * n_c
-                                         * (r_c * r_c * r_c)
-                                         * ey2c[p:p + hb, :])
+        b_scr[:, :] = b_scr[:, :] + (raw[p:p + hb, :] * n_c
+                                     * (r_c * r_c * r_c)
+                                     * ey2c[p:p + hb, :])
         grmu_scr[:, :] = grmu_scr[:, :] + (raw[p:p + hb, :] * r_c) * muy_c
 
     if n_last == dt:
@@ -293,7 +281,7 @@ def _bwd_kernel(*refs,
             for j in range(n_last):
                 plane(j)
 
-    if fuse_epi:
+    if have_c:
         @pl.when(d_idx == n_d - 1)
         def _fused_epilogue():
             # grad = A1 − box(grmu) + box(b·μx) − camera ⊙ box(b) on the
@@ -374,15 +362,14 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     else:
         g_scratch = pltpu.VMEM((2, band_rows, dt, wcc), camera.dtype)
 
-    fuse_epi = have_c and direct_g
     kernel = functools.partial(
         _bwd_kernel, D=D, k=k, eps=float(eps), hb=hb, dt=dt,
         wo=wo, woe=woe, wcc=wcc, pw=pw, syw=syw, lp=lp,
         direct_g=direct_g, g_rows=g_rows,
         n_last=min(dt, max(1, (D + 1) - (n_d - 1) * dt)),
-        have_c=have_c, fuse_epi=fuse_epi)
+        have_c=have_c)
 
-    acc_rows = hbe if fuse_epi else hb
+    acc_rows = hbe if have_c else hb
     scratch = [
         pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera band
         pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
@@ -399,8 +386,7 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     ]
     inputs = (cam_p, proj_p, g_src)
     if have_c:
-        c_rows = hbe + 2 * p if fuse_epi else hb
-        scratch.insert(3, pltpu.VMEM((2, c_rows, dt, wo),
+        scratch.insert(3, pltpu.VMEM((2, hbe + 2 * p, dt, wo),
                                      camera.dtype))       # c tile (2 slots)
         inputs = (cam_p, proj_p, g_src, cost)
 
@@ -411,8 +397,8 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
         kernel,
         grid=(n_h, n_d),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(inputs),
-        out_specs=map_spec if fuse_epi else (map_spec,) * 3,
-        out_shape=map_shape if fuse_epi else (map_shape,) * 3,
+        out_specs=map_spec if have_c else (map_spec,) * 3,
+        out_shape=map_shape if have_c else (map_shape,) * 3,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * (2 if have_c else 4) * k * H * W * (D + 1),
@@ -429,7 +415,7 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
         interpret=interpret,
     )(*inputs)
 
-    if fuse_epi:
+    if have_c:
         # The kernel emitted the finished gradient.
         return out[:H, :W]
     a1, b, grmu = out

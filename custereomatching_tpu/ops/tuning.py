@@ -1,7 +1,7 @@
 """Block-size autotuning for the Pallas kernels.
 
-The shipped defaults (pipeline 32×40, volume 48×8, backward 40×8) are
-tuned for the KITTI production shape (375×1242, D=192, k=15) on a TPU
+The shipped defaults (pipeline 32×40, volume 48×8, backward 48×8-or-16)
+are tuned for the KITTI production shape (375×1242, D=192, k=15) on a TPU
 v5e; other image sizes, disparity ranges or device generations can
 prefer different tiles (the trade-offs: halo-inflation of the row pass
 vs VMEM pressure vs padded-plane waste).
@@ -140,10 +140,11 @@ def _trainable_bwd_vmem(H, W, D, k, hb, dt) -> float:
     syw = wcc + lp
     pw = _round_up(syw + 2 * p, 128)
     band_rows = _round_up(hbe + 2 * p, 8)
+    pa = _round_up(p, 8)
     scratch = (band_rows * (wcc + pw)            # bands
                + 2 * (hbe + 2 * p) * dt * wo     # cost tile, 2 slots
                + hbe * woe                       # gr margins
-               + 7 * (hbe + 2 * p) * wo          # residual-map staging
+               + 7 * (hb + 4 * pa) * wo          # 2D aligned map staging
                + 2 * hbe * wo                    # μx / ex2
                + 2 * hbe * syw                   # μy / ey2
                + hb * wo + 2 * hbe * wo)         # A1 / B / GRMU
@@ -183,12 +184,11 @@ def candidate_blocks(kind: str, height: int, width: int,
     tile is pinned by the residual volume's declared plane count — and
     block_rows must not make the backward's padded row extent outgrow
     the forward's (48-row tiles), which the driver would clamp away.
-    Its budget is wider than the forwards': the KITTI default (the
-    driver clamps the shipped 40 to hb=32; dt=16) prices at ~19 MB by
-    this estimate and compiles on a v5e (the 13.5 MB figure is the
-    forwards' calibrated threshold, not a hardware limit); genuinely
-    infeasible candidates are pruned by the compile-failure skip in the
-    measurement loop.
+    Its budget is wider than the forwards': the backwards run with a
+    raised per-kernel VMEM limit (64 MB), so the KITTI default (hb=48,
+    dt=16) prices well above the forwards' 13.5 MB threshold and still
+    compiles; genuinely infeasible candidates are pruned by the
+    compile-failure skip in the measurement loop.
     """
     est = {"pipeline": _pipeline_vmem, "volume": _volume_vmem,
            "trainable_bwd": _trainable_bwd_vmem}[kind]
@@ -235,7 +235,12 @@ def _rank_candidates(kind: str, cands, height, width, D, k):
         if kind == "trainable_bwd":
             from custereomatching_tpu.utils.kernel_model import (
                 fused_backward_c_cost)
-            cost_fn = fused_backward_c_cost
+
+            def cost_fn(h, w, d, kk, hb, dt):
+                # The backward derives its own disparity tile (shared
+                # helper); the candidate's dt does not enter pricing.
+                del dt
+                return fused_backward_c_cost(h, w, d, kk, hb)
         else:
             cost_fn = (fused_forward_cost if kind == "pipeline"
                        else volume_forward_cost)

@@ -541,7 +541,7 @@ def fused_forward_cost(H: int, W: int, D: int, k: int,
 
 
 def fused_backward_c_cost(H: int, W: int, D: int, k: int,
-                          hb: int = 48, dt: int = 8) -> OpCount:
+                          hb: int = 48) -> OpCount:
     """Op/byte counts of the cost-residual fused trainable backward
     (ops/pallas_pipeline.py::_fused_bwd_c_kernel): per plane one DMA'd
     cost read, head cotangent, one box pass, three accumulations (b and

@@ -65,7 +65,7 @@ def test_variant_ordering():
         "fwd": fused_forward_cost(H, W, D, K, 32, 40),
         "fwd_v": fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
         "bwd": fused_backward_cost(H, W, D, K, 48, 8),
-        "bwd_c": fused_backward_c_cost(H, W, D, K, 40, 8),
+        "bwd_c": fused_backward_c_cost(H, W, D, K, 40),
         "vol_fwd": volume_forward_cost(H, W, D, K, 48, 8),
         "vol_bwd_c": volume_backward_cost(H, W, D, K, 40, 8, True),
         "vol_bwd": volume_backward_cost(H, W, D, K, 48, 8, False),
@@ -112,7 +112,7 @@ def test_cost_fns_populate_byte_pools():
         fused_forward_cost(H, W, D, K, 32, 40),
         fused_forward_cost(H, W, D, K, 48, 8, write_volume=True),
         fused_backward_cost(H, W, D, K, 48, 8),
-        fused_backward_c_cost(H, W, D, K, 40, 8),
+        fused_backward_c_cost(H, W, D, K, 40),
         volume_forward_cost(H, W, D, K, 48, 8),
         volume_backward_cost(H, W, D, K, 40, 8, True),
     ]
@@ -146,9 +146,9 @@ def test_trainable_backward_models_dt16_plane_padding():
     declaration: KITTI D=192 (200 -> 208 planes) runs dt=16, which must
     price strictly cheaper tile overheads than an 8-divisible-only D."""
     # D=199: 200 planes, decl 208, 208-200=8 < 16 -> padded, dt=16.
-    padded = fused_backward_c_cost(H, W, 199, K, 40, 8)
+    padded = fused_backward_c_cost(H, W, 199, K, 40)
     # D=207: 208 planes already 16-divisible -> dt=16 without padding.
-    native16 = fused_backward_c_cost(H, W, 207, K, 40, 8)
+    native16 = fused_backward_c_cost(H, W, 207, K, 40)
     # Same tile geometry -> per-plane costs within a plane-count ratio.
     t_p = padded.time(RATES, 8.19e11)["t_compute_s"]
     t_n = native16.time(RATES, 8.19e11)["t_compute_s"]
