@@ -72,12 +72,18 @@ def _store_disk_cache(key: str, value: Tuple[int, int]) -> None:
         pass
 
 
+# Bump when a kernel's tile semantics change: stale winners measured
+# against an older kernel generation must not pin tiles for the new one
+# (round 3 rebuilt the backward staging, defaults, and VMEM limits).
+_SCHEMA = "v2"
+
+
 def _disk_key(key: tuple) -> str:
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
         kind = "unknown"
-    return f"{kind}|" + "|".join(str(x) for x in key)
+    return f"{_SCHEMA}|{kind}|" + "|".join(str(x) for x in key)
 
 
 # ---------------------------------------------------------------------------
