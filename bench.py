@@ -456,7 +456,16 @@ def main() -> None:
                 volume_backward_cost(H, W, D, K, 48, 8, True),
                 rates)["bound_s"]
             b_train = b_tfwd + b_tbwd
-            b_vfb = b_vfwd + b_vbwd
+            # The fwd+bwd protocol also materializes the masked all-ones
+            # cotangent volume (reference's backward protocol) — price
+            # its HBM write so the achieved % compares like with like.
+            from custereomatching_tpu.ops.pallas_zncc import _round_up
+
+            n_pl = -(-(D + 1) // 8) * 8
+            ones_w = (_round_up(H, 48) * n_pl
+                      * _round_up(max(W, 128), 128) * 4)
+            b_ones = ones_w * rates.get("hbm_w3d", 0.0)
+            b_vfb = b_vfwd + b_vbwd + b_ones
             print(
                 "[bench] calibrated rooflines (microbenchmarked op rates, "
                 "utils/kernel_model.py): "
@@ -467,7 +476,8 @@ def main() -> None:
                 f"{b_train/t_train*100:.1f}% achieved; "
                 f"volume fwd bound {b_vfwd*1e3:.2f} ms -> "
                 f"{b_vfwd/t_fwd_h*100:.1f}%; "
-                f"volume fwd+bwd bound {b_vfb*1e3:.2f} ms -> "
+                f"volume fwd+bwd bound {b_vfb*1e3:.2f} ms "
+                f"(incl. cotangent build {b_ones*1e3:.2f}) -> "
                 f"{b_vfb/t_fwdbwd_h*100:.1f}%",
                 file=sys.stderr,
             )
