@@ -1020,6 +1020,15 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
     syw = wcc + lp
     pw = _round_up(syw + 2 * p, 128)
     dt = bwd_c_disparity_tile(W, D, k, hb, n_planes)
+    if n_planes % dt:
+        # n_d = n_planes // dt would silently truncate: planes
+        # [n_d*dt, n_planes) would never be accumulated — a wrong gradient
+        # with no error.  The internal forwards always declare 8-multiple
+        # plane counts, so this only fires for externally-built residuals.
+        raise ValueError(
+            f"cost volume plane count {n_planes} is not a multiple of the "
+            f"backward disparity tile dt={dt}; pad the volume's plane axis "
+            f"to a multiple of 8 (extra planes beyond D+1 are skipped)")
     n_d = n_planes // dt
     if n_planes < D + 1:
         raise ValueError(

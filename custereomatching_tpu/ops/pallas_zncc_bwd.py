@@ -902,6 +902,14 @@ def pallas_camera_grad_banded_hdw_with_cost(
 
     ``cost_volume_hdw`` and ``padded_hdw_grad`` must share the padded-HDW
     layout produced by :func:`..pallas_zncc.stereo_matching_pallas_hdw`.
+
+    Contract: cotangent entries for padded rows/planes/columns MUST be
+    zero (true by construction when the loss reads the volume through the
+    padded-aware disparity head).  This kernel's in-kernel gradient
+    combine box-filters the B/GRMU fields across the image's bottom/right
+    edges, so non-zero garbage in the cotangent's padding region corrupts
+    edge-pixel gradients — it is not merely ignored.  Pinned by
+    ``tests/test_pallas_bwd.py::test_hdw_with_cost_padding_garbage``.
     """
     H, W = camera.shape
     D = int(num_disparities)

@@ -146,6 +146,71 @@ def test_trainable_pipeline_padded_plane_grad():
     np.testing.assert_allclose(g_vol / scale, g_ref / scale, atol=2e-5)
 
 
+def test_hdw_with_cost_padding_garbage():
+    """Zero-cotangent-padding contract of the with-cost direct-DMA
+    backward (ADVICE r3): the in-kernel gradient combine box-filters
+    fields across the image's bottom/right edges, so garbage in the
+    cotangent's spatial padding corrupts edge-pixel gradients — it is
+    NOT merely ignored.  Pins both halves: (a) a contract-respecting
+    cotangent reproduces the golden gradient exactly, and (b) padding
+    garbage perturbs only pixels within the kernel's reach of the
+    bottom/right image edges, leaving the interior bit-identical."""
+    from custereomatching_tpu.ops.pallas_zncc import (
+        pallas_cost_volume_banded_hdw)
+    from custereomatching_tpu.ops.pallas_zncc_bwd import (
+        pallas_camera_grad_banded_hdw_with_cost)
+
+    H, W, D, K, hb = 20, 150, 10, 5, 8   # h_pad=24 > H: real row padding
+    p = K // 2
+    rng = np.random.default_rng(17)
+    cam, proj = _pair(rng, H, W)
+    vol = pallas_cost_volume_banded_hdw(cam, proj, D, K, 1e-8, hb, 8,
+                                        True, True)
+    g = rng.standard_normal((H, D + 1, W)).astype(np.float32)
+    gp = np.zeros(vol.shape, np.float32)
+    gp[:H, :D + 1, :W] = g
+
+    def run(cot):
+        return np.asarray(pallas_camera_grad_banded_hdw_with_cost(
+            cam, proj, vol, jnp.asarray(cot), D, K, 1e-8, hb, 8, True))
+
+    clean = run(gp)
+    want = np.asarray(zncc_camera_grad(
+        cam, proj, jnp.asarray(np.swapaxes(g, 1, 2)), D, K))
+    np.testing.assert_allclose(clean, want, rtol=1e-4, atol=1e-5)
+
+    dirty_cot = gp.copy()
+    dirty_cot[H:, :D + 1, :] = 7.5      # padded rows
+    dirty_cot[:, :D + 1, W:] = -3.25    # padded columns
+    dirty = run(dirty_cot)
+    diff = np.abs(dirty - clean)
+    assert diff.max() > 0.0, (
+        "padding garbage had no effect — the zero-cotangent contract "
+        "(and this test) should be retired")
+    # Corruption is confined to the kernel's reach of the bottom/right
+    # edges; the interior is untouched.
+    reach = 2 * p
+    assert np.all(diff[:H - reach, :W - reach] == 0.0)
+
+
+def test_fused_bwd_c_rejects_non_multiple_planes():
+    """A residual volume whose plane count no disparity tile divides must
+    fail loudly (ADVICE r3): silent ``n_planes // dt`` truncation would
+    drop the tail planes from the gradient.  Unreachable through the
+    internal forwards (always 8-multiples); pinned at the impl."""
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        _fused_train_bwd_c_impl)
+
+    H, W, D, K = 16, 128, 9, 5
+    rng = np.random.default_rng(19)
+    cam, proj = _pair(rng, H, W)
+    maps = tuple(jnp.zeros((16, 128), jnp.float32) for _ in range(7))
+    cost = jnp.zeros((24, 13, 128), jnp.float32)   # 13 % 8 != 0
+    with pytest.raises(ValueError, match="not a multiple"):
+        _fused_train_bwd_c_impl(cam, proj, maps, cost, D, K, 1e-8, 50.0,
+                                8, True)
+
+
 def test_model_training_uses_fused_path():
     """model-level disparity_loss gradient on the pallas_interpret backend
     == xla backend (exercises the dispatch in models/optimize.py)."""
