@@ -279,8 +279,46 @@ def _preflight(attempts: int = 2, wait_s: float = 60.0) -> None:
     raise SystemExit(2)
 
 
+def _smoke_status() -> None:
+    """Surface the last recorded hardware-smoke verdict (HWSMOKE.json,
+    written by scripts/hw_smoke.py).  The CPU suite cannot catch
+    Mosaic-rejects-what-interpret-accepts failures; a benchmark of
+    kernels whose last on-device smoke is missing, failing, or stale is
+    flagged so the number is never read as "all paths verified"."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "HWSMOKE.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except Exception:
+        print("[bench] WARNING: no recorded hardware smoke (HWSMOKE.json "
+              "missing) — run scripts/hw_smoke.py", file=sys.stderr)
+        return
+    age_d = (time.time() - rec.get("unix_time", 0)) / 86400.0
+    kind = jax.devices()[0].device_kind
+    issues = []
+    if not rec.get("pass"):
+        issues.append(f"last smoke FAILED ({rec.get('n_failed')} cases)")
+    if rec.get("device") != kind:
+        issues.append(f"recorded on {rec.get('device')!r}, benching "
+                      f"{kind!r}")
+    if age_d > 14:
+        issues.append(f"stale ({age_d:.0f} days old)")
+    if issues:
+        print(f"[bench] WARNING: hardware smoke record: "
+              f"{'; '.join(issues)} — re-run scripts/hw_smoke.py",
+              file=sys.stderr)
+    else:
+        print(f"[bench] hw-smoke: PASS recorded {rec.get('time_utc')} on "
+              f"{rec.get('device')} ({rec.get('n_cases')} cases)",
+              file=sys.stderr)
+
+
 def main() -> None:
     _preflight()
+    _smoke_status()
     rng = np.random.default_rng(0)
     camera = jnp.asarray(rng.random((H, W), dtype=np.float32))
     projector = jnp.asarray(rng.random((H, W), dtype=np.float32))

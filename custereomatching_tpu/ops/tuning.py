@@ -60,16 +60,27 @@ def _load_disk_cache() -> Dict[str, list]:
         return {}
 
 
-def _store_disk_cache(key: str, value: Tuple[int, int]) -> None:
+def _store_disk_cache(key: str, value: Tuple[int, int],
+                      probe: Optional[dict] = None) -> None:
     path = _cache_path()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         cache = _load_disk_cache()
-        cache[key] = list(value)
+        entry: dict = {"blocks": list(value)}
+        if probe:
+            entry.update(probe)
+        cache[key] = entry
         with open(path, "w") as f:
             json.dump(cache, f, indent=1, sort_keys=True)
     except OSError:
         pass
+
+
+def _disk_blocks(entry) -> Tuple[int, int]:
+    """Blocks from a disk entry (round-3 bare list or round-4 dict)."""
+    if isinstance(entry, dict):
+        entry = entry["blocks"]
+    return tuple(entry)
 
 
 # Bump when a kernel's tile semantics change: stale winners measured
@@ -284,15 +295,71 @@ def _slope_time(fn, args, n1: int = 4, n2: int = 12) -> float:
     return max(best, 1e-9)
 
 
-def _tune(key, candidates, build, measure_top: int):
+# Max VPU madd slowdown vs the vpu_rates.json reference before the
+# device window counts as degraded (same criterion and default as
+# scripts/device_probe.py — the VPU chain is the op class every
+# production kernel here is priced in).
+_PROBE_MAX_SLOWDOWN = 2.0
+
+
+def _probe_health() -> Tuple[Optional[bool], Optional[float],
+                             Optional[float]]:
+    """``(ok, madd_s_per_elem, reference_s_per_elem)`` via the cost
+    model's own VPU microbenchmark.
+
+    ``ok=None`` means the probe itself is unavailable (non-TPU backend,
+    missing Pallas) — callers treat that as "unknown", not degraded.
+    """
+    try:
+        from custereomatching_tpu.utils.kernel_model import (
+            _run_rate,
+            measure_vpu_rates,
+        )
+
+        cached = measure_vpu_rates(measure_if_missing=False)
+        ref = cached.get("madd") if cached else None
+        madd = _run_rate("madd")
+    except Exception:
+        return None, None, None
+    if ref is None:
+        # Absolute fallback, matching scripts/device_probe.py's
+        # --abs-madd-ps default.
+        return (madd <= 1.0e-12), madd, None
+    return (madd <= ref * _PROBE_MAX_SLOWDOWN), madd, ref
+
+
+def _tune(key, candidates, build, measure_top: int, probe: bool = True):
     if key in _CACHE:
         return _CACHE[key]
     dk = _disk_key(key)
     disk = _load_disk_cache()
     if dk in disk:
-        best = tuple(disk[dk])
+        best = _disk_blocks(disk[dk])
         _CACHE[key] = best
         return best
+    # Health-gate the measurement window: the tunneled device has
+    # documented ~26x-degraded windows (BASELINE.md); a winner measured
+    # inside one would silently pin a garbage tile per (device, shape)
+    # until the disk cache is deleted.  Degraded → measure anyway (the
+    # relative ranking may still be usable this process) but keep the
+    # result in-process only.
+    persist, probe_meta = True, None
+    if probe:
+        ok, madd, ref = _probe_health()
+        if ok is False:
+            import warnings
+
+            warnings.warn(
+                "autotune: device VPU probe reports a degraded window "
+                f"(madd {madd * 1e12:.2f} ps/elem vs reference "
+                f"{(ref or 0) * 1e12:.2f}); the measured winner will NOT "
+                "be persisted to the disk cache",
+                RuntimeWarning, stacklevel=3)
+            persist = False
+        elif ok is True:
+            probe_meta = {"probe_madd_ps": round(madd * 1e12, 4)}
+            if ref is not None:
+                probe_meta["ref_madd_ps"] = round(ref * 1e12, 4)
     best, best_t = None, float("inf")
     for hb, dt in candidates[:measure_top]:
         try:
@@ -305,7 +372,8 @@ def _tune(key, candidates, build, measure_top: int):
     if best is None:
         raise RuntimeError("no autotune candidate compiled")
     _CACHE[key] = best
-    _store_disk_cache(dk, best)
+    if persist:
+        _store_disk_cache(dk, best, probe_meta)
     return best
 
 
@@ -343,7 +411,7 @@ def autotune_pipeline_blocks(
             interpret).soft_disparity)
         return fn, (cam, proj)
 
-    return _tune(key, cands, build, measure_top)
+    return _tune(key, cands, build, measure_top, probe=not interpret)
 
 
 def autotune_volume_blocks(
@@ -380,7 +448,7 @@ def autotune_volume_blocks(
             True))
         return fn, (cam, proj)
 
-    return _tune(key, cands, build, measure_top)
+    return _tune(key, cands, build, measure_top, probe=not interpret)
 
 
 def autotune_trainable_bwd_blocks(
@@ -432,7 +500,7 @@ def autotune_trainable_bwd_blocks(
             hb, interpret))
         return fn, (cam, proj, am, mask, conf, s, t, gsoft, gconf, cv)
 
-    return _tune(key, cands, build, measure_top)[0]
+    return _tune(key, cands, build, measure_top, probe=not interpret)[0]
 
 
 # Back-compat names for the round-2 literal candidate sets.

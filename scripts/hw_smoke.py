@@ -1,5 +1,5 @@
 """Hardware smoke sweep: compile + golden-check every Pallas kernel
-path on the REAL device across shape classes.
+path on the REAL device across shape classes, and record the result.
 
 Motivation (round 3): the CPU test suite runs every kernel in Pallas
 interpreter mode, which accepts programs Mosaic rejects — the fused
@@ -10,26 +10,39 @@ alignment-stressing shapes it compiles ON DEVICE, runs once, and
 asserts the result against the golden oracle (forward paths) or for
 finiteness + XLA agreement (gradients).
 
+Round 4 closes the round-3 gaps (VERDICT #5): the sweep now also covers
+the parity-layout op (``stereo_matching_pallas``), the plain inference
+pipeline entry (``pallas_stereo_pipeline``), and every NON-DEFAULT tile
+the autotuner has persisted for this device (a winning tile that
+compiles at probe time but mis-executes at another alignment class must
+not ship uncaught), and it RECORDS its verdict as a JSON artifact
+(``HWSMOKE.json`` at the repo root) which bench.py surfaces — a stale
+or failing record is flagged on every benchmark run.
+
 Shape classes stress: k whose halo p rounds to different sublane
 multiples (k=19 → pa=16), H below one row tile / not a multiple of 8,
 W below one lane tile / crossing a tile boundary, and D+1 hitting the
 {16-aligned, 8-aligned, odd} plane-declaration cases.
 
-Run:  python scripts/hw_smoke.py            (~10-25 min of compiles)
+Run:  python scripts/hw_smoke.py            (~10-30 min of compiles)
 Exit: 0 all paths pass, 1 otherwise.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+ARTIFACT = os.path.join(_ROOT, "HWSMOKE.json")
 
 SHAPES = [
     # (H, W, D, k)     — stress note
@@ -60,15 +73,33 @@ def _finite(x):
     return bool(np.isfinite(np.asarray(x)).all())
 
 
-def run_case(H, W, D, K):
-    from custereomatching_tpu.ops import golden
+def _check(records, name, shape, fn):
+    t0 = time.perf_counter()
+    rec = {"name": name, "shape": list(shape)}
+    try:
+        fn()
+        rec["ok"] = True
+        rec["seconds"] = round(time.perf_counter() - t0, 2)
+        print(f"    {name:<28} OK   ({rec['seconds']:.1f}s)", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:160]
+        rec["ok"] = False
+        rec["error"] = f"{type(e).__name__}: {msg}"
+        print(f"    {name:<28} FAIL {rec['error'][:120]}", flush=True)
+    records.append(rec)
+
+
+def run_case(records, H, W, D, K):
+    from custereomatching_tpu.ops import extract_disparity, golden
     from custereomatching_tpu.ops.pallas_allpairs import (
         stereo_matching_pallas_allpairs,
     )
     from custereomatching_tpu.ops.pallas_pipeline import (
+        pallas_stereo_pipeline,
         stereo_pipeline_trainable,
     )
     from custereomatching_tpu.ops.pallas_zncc import (
+        stereo_matching_pallas,
         stereo_matching_pallas_hdw,
     )
     from custereomatching_tpu.ops.zncc import (
@@ -77,19 +108,7 @@ def run_case(H, W, D, K):
     )
 
     cam, proj = _pair(H, W, seed=H * 7 + W)
-    failures = []
-
-    def check(name, fn):
-        t0 = time.perf_counter()
-        try:
-            fn()
-            print(f"    {name:<28} OK   ({time.perf_counter() - t0:.1f}s)",
-                  flush=True)
-        except Exception as e:
-            msg = str(e).splitlines()[0][:110]
-            print(f"    {name:<28} FAIL {type(e).__name__}: {msg}",
-                  flush=True)
-            failures.append(name)
+    shape = (H, W, D, K)
 
     # Banded HDW volume op: forward vs golden, grad vs XLA autodiff path.
     def hdw():
@@ -113,6 +132,35 @@ def run_case(H, W, D, K):
         scale = float(jnp.abs(want).max()) + 1e-30
         np.testing.assert_allclose(np.asarray(g) / scale,
                                    np.asarray(want) / scale, atol=2e-5)
+
+    # Parity-layout op [H, W, D+1] (round-4 addition): fwd vs golden,
+    # all-ones-cotangent grad vs golden (the reference's protocol).
+    def parity_layout():
+        got = jax.jit(lambda c, p: stereo_matching_pallas(
+            c, p, D, K))(cam, proj)
+        want = golden.zncc_cost_volume(cam, proj, D, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+        g = jax.jit(jax.grad(lambda c: jnp.sum(
+            stereo_matching_pallas(c, proj, D, K))))(cam)
+        gw = golden.zncc_camera_grad(cam, proj, jnp.ones((H, W, D + 1)),
+                                     D, K)
+        scale = float(jnp.abs(gw).max()) + 1e-30
+        np.testing.assert_allclose(np.asarray(g) / scale,
+                                   np.asarray(gw) / scale, atol=2e-5)
+
+    # Plain inference pipeline entry (round-4 addition): hard disparity
+    # bit-equal to the XLA head, soft to fp rounding.
+    def pipeline():
+        maps = jax.jit(lambda c, p: pallas_stereo_pipeline(
+            c, p, D, K))(cam, proj)
+        ref = extract_disparity(stereo_matching(cam, proj, D, K),
+                                num_disparities=D)
+        np.testing.assert_array_equal(np.asarray(maps.disparity),
+                                      np.asarray(ref.disparity))
+        np.testing.assert_allclose(np.asarray(maps.soft_disparity),
+                                   np.asarray(ref.soft_disparity),
+                                   atol=1e-4, rtol=1e-4)
 
     # Fused trainable pipeline: both residual modes, grad finite + equal.
     def trainable():
@@ -144,12 +192,94 @@ def run_case(H, W, D, K):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
 
-    check("hdw volume fwd", hdw)
-    check("hdw volume grad", hdw_grad)
-    check("trainable grads (both modes)", trainable)
-    check("both-gradients step", both_grads)
-    check("all-pairs kernel", allpairs)
-    return failures
+    _check(records, "hdw volume fwd", shape, hdw)
+    _check(records, "hdw volume grad", shape, hdw_grad)
+    _check(records, "parity-layout op", shape, parity_layout)
+    _check(records, "inference pipeline", shape, pipeline)
+    _check(records, "trainable grads (both modes)", shape, trainable)
+    _check(records, "both-gradients step", shape, both_grads)
+    _check(records, "all-pairs kernel", shape, allpairs)
+
+
+def run_autotuned_tiles(records) -> None:
+    """Re-execute every NON-DEFAULT tile the autotuner persisted for this
+    device, with a golden/XLA check at the persisted shape.
+
+    The autotuner's probe only proves a tile COMPILES and is fast; a tile
+    that mis-executes at another alignment class would ship uncaught
+    (VERDICT r3 #5).  Entries for other devices / interpret mode are
+    skipped."""
+    from custereomatching_tpu.ops import extract_disparity, golden
+    from custereomatching_tpu.ops import tuning
+    from custereomatching_tpu.ops.pallas_pipeline import (
+        _pipeline_forward,
+        stereo_pipeline_trainable,
+    )
+    from custereomatching_tpu.ops.pallas_zncc import (
+        pallas_cost_volume_banded_hdw,
+    )
+    from custereomatching_tpu.ops.zncc import stereo_matching
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    disk = tuning._load_disk_cache()
+    n_run = 0
+    for key, entry in sorted(disk.items()):
+        parts = key.split("|")
+        if len(parts) < 9 or parts[0] != tuning._SCHEMA or parts[1] != kind:
+            continue
+        kernel, h, w, D, k, interp = (parts[2], int(parts[3]),
+                                      int(parts[4]), int(parts[5]),
+                                      int(parts[6]), parts[7])
+        if interp == "True":
+            continue
+        hb, dt = tuning._disk_blocks(entry)
+        cam, proj = _pair(h, w, seed=h * 7 + w + 1)
+        name = f"autotuned {kernel} ({hb},{dt}) @{h}x{w} D={D}"
+        shape = (h, w, D, k)
+        n_run += 1
+
+        if kernel == "pipeline":
+            def chk(hb=hb, dt=dt, h=h, w=w, D=D, k=k, cam=cam, proj=proj):
+                maps = jax.jit(lambda c, p: _pipeline_forward(
+                    c, p, D, k, 1e-8, 50.0, 0.6, hb, dt))(cam, proj)
+                ref = extract_disparity(stereo_matching(cam, proj, D, k),
+                                        num_disparities=D)
+                np.testing.assert_array_equal(np.asarray(maps.disparity),
+                                              np.asarray(ref.disparity))
+                np.testing.assert_allclose(
+                    np.asarray(maps.soft_disparity),
+                    np.asarray(ref.soft_disparity), atol=1e-4, rtol=1e-4)
+        elif kernel == "volume":
+            def chk(hb=hb, dt=dt, h=h, w=w, D=D, k=k, cam=cam, proj=proj):
+                vol = jax.jit(lambda c, p: pallas_cost_volume_banded_hdw(
+                    c, p, D, k, 1e-8, hb, dt, False, False))(cam, proj)
+                want = golden.zncc_cost_volume(cam, proj, D, k)
+                np.testing.assert_allclose(
+                    np.swapaxes(np.asarray(vol), 1, 2), np.asarray(want),
+                    atol=2e-5, rtol=2e-5)
+        elif kernel == "trainable_bwd":
+            def chk(hb=hb, h=h, w=w, D=D, k=k, cam=cam, proj=proj):
+                def loss(c, bb):
+                    r = stereo_pipeline_trainable(c, proj, D, k, 1e-8,
+                                                  50.0, 0.6, False, True,
+                                                  bwd_block_rows=bb)
+                    return jnp.sum(r.soft_disparity)
+                g_tile = jax.jit(jax.grad(
+                    lambda c: loss(c, hb)))(cam)
+                g_def = jax.jit(jax.grad(lambda c: loss(c, 0)))(cam)
+                scale = float(jnp.abs(g_def).max()) + 1e-30
+                np.testing.assert_allclose(np.asarray(g_tile) / scale,
+                                           np.asarray(g_def) / scale,
+                                           atol=1e-5)
+        else:
+            continue
+        _check(records, name, shape, chk)
+    if not n_run:
+        print("  (no persisted autotune winners for this device)",
+              flush=True)
 
 
 def main() -> int:
@@ -158,11 +288,32 @@ def main() -> int:
     if dev.platform != "tpu":
         print("NOTE: not a TPU — this sweep only means something on "
               "real hardware (interpret mode accepts what Mosaic "
-              "rejects)", file=sys.stderr)
-    failed = []
+              "rejects); the artifact will say so", file=sys.stderr)
+    records: list = []
     for (H, W, D, K) in SHAPES:
         print(f"shape H={H} W={W} D={D} k={K}:", flush=True)
-        failed += [f"{n} @ {(H, W, D, K)}" for n in run_case(H, W, D, K)]
+        run_case(records, H, W, D, K)
+    print("autotuned tiles:", flush=True)
+    run_autotuned_tiles(records)
+
+    failed = [f"{r['name']} @ {tuple(r['shape'])}" for r in records
+              if not r["ok"]]
+    artifact = {
+        "unix_time": int(time.time()),
+        "time_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "device": dev.device_kind,
+        "platform": dev.platform,
+        "pass": not failed,
+        "n_cases": len(records),
+        "n_failed": len(failed),
+        "cases": records,
+    }
+    try:
+        with open(ARTIFACT, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"recorded {ARTIFACT}")
+    except OSError as e:
+        print(f"could not write {ARTIFACT}: {e}", file=sys.stderr)
     print("HW-SMOKE", "PASS" if not failed else f"FAIL: {failed}")
     return 0 if not failed else 1
 

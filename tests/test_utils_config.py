@@ -231,6 +231,49 @@ def test_autotune_disk_cache(tmp_path, monkeypatch):
     assert tuple(again) == tuple(blocks)
 
 
+def test_autotune_degraded_window_gate(tmp_path, monkeypatch):
+    """A winner measured inside a degraded device window stays in-process
+    only (VERDICT r3: one bad tuning run must not pin a garbage tile on
+    disk); healthy windows persist with the probe rate stamped, and
+    round-3 bare-list disk entries still load."""
+    import json as _json
+
+    from custereomatching_tpu.ops import tuning
+
+    path = tmp_path / "tune.json"
+    monkeypatch.setenv("CUSTEREO_TUNE_CACHE", str(path))
+    tuning._CACHE.clear()
+
+    def build(hb, dt):
+        return (lambda: jnp.zeros((1,))), ()
+
+    # Degraded window: measured, cached in-process, never persisted.
+    monkeypatch.setattr(tuning, "_probe_health",
+                        lambda: (False, 10.0e-12, 0.5e-12))
+    with pytest.warns(RuntimeWarning, match="degraded"):
+        best = tuning._tune(("t", 1), [(8, 8)], build, 2, probe=True)
+    assert best == (8, 8)
+    assert not path.exists()
+    assert tuning._tune(("t", 1), [(8, 8)], build, 2, probe=True) == (8, 8)
+
+    # Healthy window: persisted with probe metadata.
+    tuning._CACHE.clear()
+    monkeypatch.setattr(tuning, "_probe_health",
+                        lambda: (True, 0.5e-12, 0.5e-12))
+    assert tuning._tune(("t", 2), [(8, 8)], build, 2, probe=True) == (8, 8)
+    data = _json.loads(path.read_text())
+    (entry,) = data.values()
+    assert entry["blocks"] == [8, 8]
+    assert entry["probe_madd_ps"] == 0.5
+    assert entry["ref_madd_ps"] == 0.5
+
+    # Back-compat: a round-3 bare-list entry still resolves.
+    data[tuning._disk_key(("t", 3))] = [16, 8]
+    path.write_text(_json.dumps(data))
+    tuning._CACHE.clear()
+    assert tuning._tune(("t", 3), [], build, 0, probe=False) == (16, 8)
+
+
 def test_engine_autotune_per_bucket(monkeypatch):
     """autotune=True gives each bucket its own tuned kernel tiles; the
     tuned pipeline's outputs equal the default blocks' outputs."""
