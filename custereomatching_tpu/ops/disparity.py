@@ -122,32 +122,34 @@ def extract_disparity_hdw(
     threshold: float = 0.6,
     beta: float = 50.0,
 ) -> DisparityResult:
-    """Disparity head for **padded HDW** volumes (``[h_pad, ndt, wo]``).
+    """Disparity head for **padded plane-major (DHW)** volumes
+    (``[ndt, h_pad, wo]``, the layout of
+    :func:`..pallas_zncc.stereo_matching_pallas_hdw` since round 4).
 
-    Companion to :func:`..pallas_zncc.stereo_matching_pallas_hdw`: reduces
-    over axis 1 with the padded disparity planes masked to −∞ (so they
-    influence neither the max nor the softmax), then crops the resulting
-    maps to ``[height, width]``.  Because padded planes/rows/columns never
-    reach the output, autodiff produces an exactly-zero cotangent for
-    them — the contract the direct-DMA Pallas backward relies on.
+    Reduces over the leading plane axis with the padded disparity planes
+    masked to −∞ (so they influence neither the max nor the softmax),
+    then crops the resulting maps to ``[height, width]``.  Because padded
+    planes/rows/columns never reach the output, autodiff produces an
+    exactly-zero cotangent for them — the contract the direct-DMA Pallas
+    backward relies on.
     """
     if cost_volume_hdw.ndim != 3:
         raise ValueError(
-            f"expected [h_pad, ndt, wo] volume, got {cost_volume_hdw.shape}")
-    ndt = cost_volume_hdw.shape[1]
+            f"expected [ndt, h_pad, wo] volume, got {cost_volume_hdw.shape}")
+    ndt = cost_volume_hdw.shape[0]
     D = num_disparities
-    plane = jnp.arange(ndt, dtype=jnp.int32)[None, :, None]
+    plane = jnp.arange(ndt, dtype=jnp.int32)[:, None, None]
     neg = jnp.asarray(-3.0e38, cost_volume_hdw.dtype)
     masked = jnp.where(plane <= D, cost_volume_hdw, neg)
 
-    confidence = jnp.max(masked, axis=1)[:height, :width]
+    confidence = jnp.max(masked, axis=0)[:height, :width]
     mask = (confidence > threshold).astype(cost_volume_hdw.dtype)
-    corr_hard = jnp.argmax(masked, axis=1).astype(cost_volume_hdw.dtype)
+    corr_hard = jnp.argmax(masked, axis=0).astype(cost_volume_hdw.dtype)
     corr_hard = corr_hard[:height, :width]
 
-    weights = jax.nn.softmax(masked * beta, axis=1)
-    indices = jnp.arange(ndt, dtype=cost_volume_hdw.dtype)[None, :, None]
-    corr_soft = jnp.sum(weights * indices, axis=1)[:height, :width]
+    weights = jax.nn.softmax(masked * beta, axis=0)
+    indices = jnp.arange(ndt, dtype=cost_volume_hdw.dtype)[:, None, None]
+    corr_soft = jnp.sum(weights * indices, axis=0)[:height, :width]
 
     return DisparityResult(disparity=corr_hard * mask,
                            soft_disparity=corr_soft * mask,

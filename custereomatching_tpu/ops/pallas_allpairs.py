@@ -58,88 +58,112 @@ _PRECISIONS = {
 
 
 def _allpairs_kernel(cam_hbm, proj_hbm, out_ref,
-                     cam_band, proj_band, crolled, prolled, bc, bp, sems,
+                     cam_band, proj_band, crolled, prolled, bc_all, bp_all,
+                     sxc_scr, ex2c_scr, sy_scr, ey2_scr, sems,
                      *, H: int, W: int, k: int, eps: float, prec,
-                     hr: int, rb: int, wi: int, wo: int):
-    """Grid step = ``hr`` output rows; out block ``[hr, W, W]`` (the
-    exact output shape — Pallas masks the last step's row overhang)."""
+                     hr: int, rb: int, wi: int, wo: int, yt: int):
+    """Grid step = ``hr`` output rows × a ``yt``-column y-tile; out block
+    ``[hr, W, yt]`` (exact output shape — Pallas masks row overhang).
+
+    Round-4 restructure (VERDICT #4): the y axis (absolute projector
+    column) is tiled so the out block never outgrows VMEM — the kernel
+    now covers KITTI-width all-pairs volumes instead of silently falling
+    back to XLA — and the k² im2col copies are hoisted to once per ROW
+    BLOCK (at y_idx == 0) into per-row stacks whose k-row blocks sit at
+    8-ALIGNED sublane offsets (j·round_up(k, 8)); every y-tile's
+    contraction then reads static slices of the prebuilt stacks.  The
+    zero pad rows between blocks contribute exact zeros to the
+    contraction."""
     h_idx = pl.program_id(0)
+    y_idx = pl.program_id(1)
     p = k // 2
-    k2 = k * k
-    k2p = _round_up(k2, 8)
-    inv_k2 = 1.0 / float(k2)
+    kb = _round_up(k, 8)
+    inv_k2 = 1.0 / float(k * k)
     r0 = h_idx * hr
 
-    cam_dma = pltpu.make_async_copy(
-        cam_hbm.at[pl.ds(r0, rb), :], cam_band, sems.at[0])
-    proj_dma = pltpu.make_async_copy(
-        proj_hbm.at[pl.ds(r0, rb), :], proj_band, sems.at[1])
-    cam_dma.start()
-    proj_dma.start()
-    cam_dma.wait()
-    proj_dma.wait()
+    @pl.when(jnp.logical_and(h_idx == 0, y_idx == 0))
+    def _zero_pads():
+        # Contraction pad rows (between the 8-aligned k-row blocks):
+        # zeroed once, never written again.
+        if kb > k:
+            for j in range(k):
+                for s in (bc_all, bp_all):
+                    s[:, j * kb + k:(j + 1) * kb, :] = jnp.zeros(
+                        (hr, kb - k, wo), s.dtype)
 
-    # Window stats for the whole row block, once per grid step: box sums
-    # on the VPU (output row t ↔ band rows [t, t+2p], image col x ↔ band
-    # cols [x, x+2p]).  STATS ON THE MXU WERE THE BOTTLENECK of the
-    # first cut — two ones-dot reductions per output row cost 1.35 ms at
-    # the 330×422 verify shape; the box passes below are ~0.05 ms total.
-    camv = cam_band[:, :]
-    sx_rows = _box_from_band(camv, k, hr, wo)              # [hr, wo]
-    ex2_rows = (_box_from_band(camv * camv, k, hr, wo)
-                - sx_rows * sx_rows * inv_k2)
-    projv = proj_band[:, :]
-    sy_rows = _box_from_band(projv, k, hr, wo)
-    ey2_rows = (_box_from_band(projv * projv, k, hr, wo)
-                - sy_rows * sy_rows * inv_k2)
+    @pl.when(y_idx == 0)
+    def _stage_row_block():
+        cam_dma = pltpu.make_async_copy(
+            cam_hbm.at[pl.ds(r0, rb), :], cam_band, sems.at[0])
+        proj_dma = pltpu.make_async_copy(
+            proj_hbm.at[pl.ds(r0, rb), :], proj_band, sems.at[1])
+        cam_dma.start()
+        proj_dma.start()
+        cam_dma.wait()
+        proj_dma.wait()
 
-    # The camera stats are needed as COLUMN vectors (x lives on the
-    # output's sublane axis): transpose [hr, wo] → [wo, hr] with one
-    # tiny identity-dot on the MXU (HIGHEST: ·1.0 passes are exact).
-    eye = jnp.eye(hr, dtype=jnp.float32)
-    tdims = (((0,), (0,)), ((), ()))
-    sx_cols = lax.dot_general(sx_rows, eye, tdims,
-                              precision=lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-    ex2_cols = lax.dot_general(ex2_rows, eye, tdims,
-                               precision=lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
+        # Window stats for the whole row block: box sums on the VPU
+        # (STATS ON THE MXU WERE THE BOTTLENECK of the first cut — two
+        # ones-dot reductions per output row cost 1.35 ms at the 330×422
+        # verify shape; the box passes below are ~0.05 ms total).
+        camv = cam_band[:, :]
+        sx_rows = _box_from_band(camv, k, hr, wo)          # [hr, wo]
+        ex2_rows = (_box_from_band(camv * camv, k, hr, wo)
+                    - sx_rows * sx_rows * inv_k2)
+        projv = proj_band[:, :]
+        sy_rows = _box_from_band(projv, k, hr, wo)
+        ey2_rows = (_box_from_band(projv * projv, k, hr, wo)
+                    - sy_rows * sy_rows * inv_k2)
+        sy_scr[:, :] = sy_rows
+        ey2_scr[:, :] = ey2_rows
 
-    # k lane-rolled copies of each band: rolled[j][r, c] = band[r, c+j]
-    # (wrapped-in lanes land beyond column W+2p−1 and are never read —
-    # W + k − 1 ≤ wi by construction).  Every later slice is static.
-    for j in range(k):
-        crolled[j] = pltpu.roll(cam_band[:, :], wi - j, axis=1)
-        prolled[j] = pltpu.roll(proj_band[:, :], wi - j, axis=1)
+        # Camera stats as COLUMN vectors (x lives on the output's
+        # sublane axis): one tiny identity-dot transpose on the MXU
+        # (HIGHEST: ·1.0 passes are exact).
+        eye = jnp.eye(hr, dtype=jnp.float32)
+        tdims = (((0,), (0,)), ((), ()))
+        sxc_scr[:, :] = lax.dot_general(
+            sx_rows, eye, tdims, precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        ex2c_scr[:, :] = lax.dot_general(
+            ex2_rows, eye, tdims, precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
-    # Zero the contraction pad rows once (they feed the MXU).
-    if k2p > k2:
-        bc[k2:, :] = jnp.zeros((k2p - k2, wo), bc.dtype)
-        bp[k2:, :] = jnp.zeros((k2p - k2, wo), bp.dtype)
-
-    for t in range(hr):
-        # im2col bands for output row r0 + t: row (j·k + i) holds
-        # cam_pad[t + i, x + j] — window element (i, j) of the window
-        # centered at image (r0 + t, x).
+        # k lane-rolled copies of each band: rolled[j][r, c] =
+        # band[r, c+j] (wrapped-in lanes land beyond column W+2p−1 and
+        # are never read — W + k − 1 ≤ wi by construction).
         for j in range(k):
-            bc[j * k:(j + 1) * k, :] = crolled[j, t:t + k, 0:wo]
-            bp[j * k:(j + 1) * k, :] = prolled[j, t:t + k, 0:wo]
+            crolled[j] = pltpu.roll(cam_band[:, :], wi - j, axis=1)
+            prolled[j] = pltpu.roll(proj_band[:, :], wi - j, axis=1)
 
-        # Raw cross term: one MXU contraction over the k² window index.
-        a = lax.dot_general(bc[:, :], bp[:, :], tdims, precision=prec,
+        # Per-row im2col stacks for the WHOLE row block: row block
+        # (t, j·kb + i) holds img_pad[t + i, x + j] — built once,
+        # consumed by every y-tile.
+        for t in range(hr):
+            for j in range(k):
+                bc_all[t, j * kb:j * kb + k, :] = crolled[j, t:t + k, 0:wo]
+                bp_all[t, j * kb:j * kb + k, :] = prolled[j, t:t + k, 0:wo]
+
+    tdims = (((0,), (0,)), ((), ()))
+    y0 = pl.multiple_of(y_idx * yt, 128)
+    for t in range(hr):
+        # Raw cross term: one MXU contraction over the padded k² window
+        # index (pad rows are exact zeros).
+        a = lax.dot_general(bc_all[t], bp_all[t, :, pl.ds(y0, yt)],
+                            tdims, precision=prec,
                             preferred_element_type=jnp.float32)
 
-        sx_c = sx_cols[:, t:t + 1]
-        ex2_c = ex2_cols[:, t:t + 1]
-        sy_r = sy_rows[t:t + 1, :]
-        ey2_r = ey2_rows[t:t + 1, :]
+        sx_c = sxc_scr[:, t:t + 1]
+        ex2_c = ex2c_scr[:, t:t + 1]
+        sy_r = sy_scr[t:t + 1, pl.ds(y0, yt)]
+        ey2_r = ey2_scr[t:t + 1, pl.ds(y0, yt)]
 
         exy = a - sx_c * (sy_r * inv_k2)
         deno = lax.rsqrt(ex2_c * ey2_r + eps)
-        out_ref[t] = ((exy + eps) * deno)[0:W, 0:W]
+        out_ref[t] = ((exy + eps) * deno)[0:W, :]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def pallas_cost_volume_allpairs(
     camera: jax.Array,
     projector: jax.Array,
@@ -148,6 +172,7 @@ def pallas_cost_volume_allpairs(
     block_rows: int = 8,
     interpret: bool = False,
     precision: str = "highest",
+    y_tile: int = 0,
 ) -> jax.Array:
     """All-pairs ``[H, W, W]`` ZNCC cost volume (Pallas/MXU).
 
@@ -159,6 +184,12 @@ def pallas_cost_volume_allpairs(
     same knob (and default) as the XLA op: "highest" = exact fp32
     (parity), "high"/"default" trade 3×/6× fewer MXU passes for bf16-
     split truncation of the cross term.
+
+    Round 4: the output's y axis is tiled (128-multiple tiles chosen so
+    the double-buffered ``[hr, W, yt]`` out block fits VMEM), so the
+    kernel covers arbitrary widths — including the reference's KITTI-
+    scale ``[H, W, W]`` layouts — with no XLA fallback; rounds 1-3 fell
+    back silently above W ≈ 724.
     """
     H, W = camera.shape
     k = int(kernel_size)
@@ -169,16 +200,7 @@ def pallas_cost_volume_allpairs(
     if k < 1 or k % 2 != 1:
         raise ValueError(f"kernel_size must be odd and >= 1, got {k}")
     hr = max(8, _round_up(int(block_rows), 8))
-    # The output travels as [hr, W, W] VMEM blocks (double-buffered by
-    # the out_specs pipeline); at large widths that cannot fit the
-    # scoped-VMEM limit, so fall back to the XLA row-Hankel path — same
-    # math, golden-pinned (e.g. KITTI W=1242: 8·W²·4 ≈ 49 MB/block).
-    if 2 * hr * W * W * 4 > 32 * 2**20:
-        from custereomatching_tpu.ops.zncc import _forward_allpairs
-
-        return _forward_allpairs(camera, projector, k, epsilon,
-                                 precision)
-    k2p = _round_up(k * k, 8)
+    kb = _round_up(k, 8)
 
     wo = _round_up(W, 128)             # compute lane width (y axis)
     # Staged input width: covers the image + window margins AND the
@@ -189,6 +211,24 @@ def pallas_cost_volume_allpairs(
     rb = _round_up(hr + 2 * p, 8)      # band rows per step (8-aligned)
     src_rows = h_pad + rb              # covers the last step's band
 
+    # y-tile: whole width when the double-buffered out block fits,
+    # otherwise the largest 128-multiple that does (round 4 — the kernel
+    # covers KITTI-width volumes instead of silently falling back; the
+    # im2col stacks are built once per row block and shared across
+    # y-tiles).  A floor of 128 always fits: 2·hr·W·128·4 ≤ 5.1 MB at
+    # W = 1242.
+    budget = 24 * 2**20
+    # yt must DIVIDE wo (the stacks are sliced at [y0, y0+yt)) and be a
+    # 128-multiple (aligned dynamic lane offsets).
+    divisors = [d for d in range(128, wo + 1, 128) if wo % d == 0]
+    if y_tile:
+        want = _round_up(min(int(y_tile), wo), 128)
+        yt = max(d for d in divisors if d <= want)
+    else:
+        fitting = [d for d in divisors if 2 * hr * W * d * 4 <= budget]
+        yt = max(fitting) if fitting else divisors[0]
+    n_y = wo // yt
+
     # Padded sources: image at (row p, col p); zero margins realize the
     # query_ij zero-padding contract on all four sides.
     cam_p = jnp.zeros((src_rows, wi), camera.dtype)
@@ -198,7 +238,7 @@ def pallas_cost_volume_allpairs(
 
     kernel = functools.partial(
         _allpairs_kernel, H=H, W=W, k=k, eps=float(epsilon),
-        prec=_PRECISIONS[precision], hr=hr, rb=rb, wi=wi, wo=wo)
+        prec=_PRECISIONS[precision], hr=hr, rb=rb, wi=wi, wo=wo, yt=yt)
 
     # Exact [H, W, W] output: Pallas masks the overhang of boundary
     # blocks, so no volume-sized XLA crop sits after the kernel (a
@@ -206,9 +246,9 @@ def pallas_cost_volume_allpairs(
     # shape — the no-volume-sized-XLA-glue invariant applies here too).
     out = pl.pallas_call(
         kernel,
-        grid=(n_h,),
+        grid=(n_h, n_y),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec((hr, W, W), lambda h: (h, 0, 0),
+        out_specs=pl.BlockSpec((hr, W, yt), lambda h, y: (h, 0, y),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W, W), camera.dtype),
         scratch_shapes=[
@@ -216,8 +256,12 @@ def pallas_cost_volume_allpairs(
             pltpu.VMEM((rb, wi), camera.dtype),       # projector band
             pltpu.VMEM((k, rb, wi), camera.dtype),    # rolled camera
             pltpu.VMEM((k, rb, wi), camera.dtype),    # rolled projector
-            pltpu.VMEM((k2p, wo), camera.dtype),      # Bc (im2col)
-            pltpu.VMEM((k2p, wo), camera.dtype),      # Bp (im2col)
+            pltpu.VMEM((hr, k * kb, wo), camera.dtype),   # Bc stacks
+            pltpu.VMEM((hr, k * kb, wo), camera.dtype),   # Bp stacks
+            pltpu.VMEM((wo, hr), camera.dtype),       # Σx (cols)
+            pltpu.VMEM((wo, hr), camera.dtype),       # ex2 (cols)
+            pltpu.VMEM((hr, wo), camera.dtype),       # Σy (rows)
+            pltpu.VMEM((hr, wo), camera.dtype),       # ey2 (rows)
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -226,7 +270,7 @@ def pallas_cost_volume_allpairs(
             transcendentals=H * W,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20),
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(cam_p, proj_p)
 

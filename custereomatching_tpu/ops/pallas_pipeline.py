@@ -99,7 +99,7 @@ def bwd_c_disparity_tile(W: int, D: int, k: int, hb: int,
         if n_planes % cand:
             continue
         scratch = 4 * (_round_up(hbe + 2 * p, 8) * (wcc + pw)
-                       + 2 * (hbe + 2 * p) * cand * wo      # cost, 2 slots
+                       + 2 * cand * (hb + 4 * pa) * wo      # cost, 2 slots
                        + hbe * woe + 7 * (hb + 4 * pa) * wo
                        + 2 * hbe * wo + 2 * hbe * syw
                        + hb * wo + 2 * hbe * wo)
@@ -153,9 +153,9 @@ def _fused_kernel(*refs,
     """
     if write_volume:
         (cam_hbm, proj_hbm,
-         cv_ref, am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
+         cv_hbm, am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
          cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
-         m_scr, am_scr, s_scr, t_scr, sems) = refs
+         m_scr, am_scr, s_scr, t_scr, sems, vol_buf, out_sem) = refs
     else:
         (cam_hbm, proj_hbm,
          am_ref, soft_ref, mask_ref, conf_ref, s_ref, t_ref,
@@ -164,6 +164,9 @@ def _fused_kernel(*refs,
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
+    n_h = pl.num_programs(0)
+    step_idx = h_idx * n_d + d_idx
+    vslot = lax.rem(step_idx, 2)
     p = k // 2
     band_rows = _round_up(hb + 2 * p, 8)
     inv_k2 = 1.0 / float(k * k)
@@ -198,6 +201,21 @@ def _fused_kernel(*refs,
         s_scr[:, :] = jnp.zeros((hb, wo), s_scr.dtype)
         t_scr[:, :] = jnp.zeros((hb, wo), t_scr.dtype)
 
+    if write_volume:
+        # Plane-major volume residual via per-plane manual DMAs (see
+        # .pallas_zncc._banded_kernel: full-efficiency plane stores, the
+        # write hides behind the next steps' compute).
+        def out_copy(sl, j):
+            return pltpu.make_async_copy(
+                vol_buf.at[sl, j],
+                cv_hbm.at[d_idx * dt + j, pl.ds(h_idx * hb, hb), :],
+                out_sem.at[sl])
+
+        @pl.when(step_idx >= 2)
+        def _drain_prev_vol():
+            for j in range(dt):
+                out_copy(vslot, j).wait()
+
     band = cam_vmem[:, :]
     mux = sx_scr[:, :]
     ex2 = ex2_scr[:, :]
@@ -223,7 +241,8 @@ def _fused_kernel(*refs,
         bc = jnp.where(d <= D, bc, -3.0e38)
         if write_volume:
             # The backward consumes this plane as its cost residual.
-            cv_ref[:, j, :] = bc * inv_b
+            vol_buf[vslot, j] = bc * inv_b
+            out_copy(vslot, j).start()
 
         # Accumulators round-trip through scratch each iteration: the ref
         # stores cut the value chains so Mosaic can reuse the loop
@@ -260,9 +279,25 @@ def _fused_kernel(*refs,
         def _last_tile():
             for j in range(n_last):
                 plane(j)
+            # Uniform per-slot DMA counts: ship the skipped planes'
+            # stale buffers into the declared padding (garbage by
+            # contract).
+            for j in range(n_last, dt):
+                out_copy(vslot, j).start()
     else:
         for j in range(dt):
             plane(j)
+
+    if write_volume:
+        @pl.when(step_idx == n_h * n_d - 1)
+        def _final_drain_vol():
+            @pl.when(step_idx >= 1)
+            def _other_slot():
+                other = lax.rem(step_idx + 1, 2)
+                for j in range(dt):
+                    out_copy(other, j).wait()
+            for j in range(dt):
+                out_copy(vslot, j).wait()
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -360,17 +395,17 @@ def _pipeline_forward_full(
         # when the extra (never-written) tail still fits inside the
         # backward's skipped last disparity tile: a 16-divisible plane
         # count lets the cost-residual backward run dt=16 — half the DMA
-        # issues and per-tile rolls of dt=8.  Only blocks 0..n_d-1 are
+        # issues and per-tile rolls of dt=8.  Only planes < n_d·dt are
         # ever written; the tail planes stay uninitialized in HBM and
         # the backward's unwritten-region guard keeps them out of any
-        # live tile.
+        # live tile.  Plane-major layout, manual per-plane DMAs (round
+        # 4 — see _fused_kernel).
         vol_planes = n_d * dt
         decl = _round_up(vol_planes, 16)
         if decl > vol_planes and decl - (D + 1) < 16:
             vol_planes = decl
-        out_specs = (pl.BlockSpec((hb, dt, wo), lambda h, d: (h, d, 0),
-                                  memory_space=pltpu.VMEM),) + out_specs
-        out_shape = (jax.ShapeDtypeStruct((h_pad, vol_planes, wo),
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),) + out_specs
+        out_shape = (jax.ShapeDtypeStruct((vol_planes, h_pad, wo),
                                           camera.dtype),) + out_shape
     outs = pl.pallas_call(
         kernel,
@@ -393,7 +428,9 @@ def _pipeline_forward_full(
             pltpu.VMEM((hb, wo), camera.dtype),           # softmax s
             pltpu.VMEM((hb, wo), camera.dtype),           # softmax t
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((2, dt, hb, wo), camera.dtype),  # plane staging
+              pltpu.SemaphoreType.DMA((2,))]              # volume DMAs
+             if write_volume else []),
         cost_estimate=pl.CostEstimate(
             flops=(2 * 2 * k + 12) * H * W * (D + 1),
             bytes_accessed=2 * H * W * 4 + 4 * H * W * 4
@@ -887,13 +924,20 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
     # PREVIOUS step started (slot s % 2) and immediately launches step
     # s+1's DMA into the other slot — the per-step DMA otherwise stalls
     # ~20% of the plane loop (the bands amortize over a whole row tile;
-    # the cost tile cannot).
+    # the cost tile cannot).  Plane-major residual (round 4): rows are a
+    # tiled dim, so stage from the 8-aligned offset r0 − pa with the
+    # clamp folded into the destination offset (static read row qv + t).
+    pa = _round_up(p, 8)
+    crows = hb + 2 * pa
+    qv = 2 * pa - p
+
     def _issue_c(hi, di, sl):
         r0i = hi * hb
-        s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+        s0i = pl.multiple_of(jnp.clip(r0i - pa, 0, g_rows - crows), 8)
+        o_c = pl.multiple_of(pa - ((r0i - pa) - s0i), 8)
         return pltpu.make_async_copy(
-            c_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
-            c_vmem.at[sl, pl.ds(p - ((r0i - p) - s0i), hbe)],
+            c_hbm.at[pl.ds(di * dt, dt), pl.ds(s0i, crows), :],
+            c_vmem.at[sl, :, pl.ds(o_c, crows)],
             sems.at[9 + sl])
 
     step = h_idx * n_d + d_idx
@@ -936,7 +980,7 @@ def _fused_bwd_c_kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, conf_hbm,
         c0 = dt - 1 - j
         ey2c = ey2b[:, c0 + p:c0 + p + wo]          # [hbe, wo]
         r = lax.rsqrt(ex2 * ey2c + eps)
-        c_t = jnp.where(rmask, c_vmem[slot, p:p + hbe, j, :], 0.0)
+        c_t = jnp.where(rmask, c_vmem[slot, j, qv:qv + hbe, :], 0.0)
         d_f = jnp.float32(0) + (d_base + j)
         # Guard out-of-image positions in normalized mode (m_e = 0 there
         # but c_t can be ~1: exp(β·c) overflows; Inf·0 = NaN).
@@ -1006,13 +1050,14 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
     H, W = camera.shape
     p = k // 2
     hb = _round_up(int(block_rows), 8)
-    g_rows = cost.shape[0]
+    # Plane-major residual volume [n_planes, g_rows, wo] (round 4).
+    g_rows = cost.shape[1]
     # No row tile may straddle the volume's padded extent (clamped DMA
     # would deliver shifted rows for in-range outputs).
     while hb > 8 and -(-H // hb) * hb > max(g_rows, H):
         hb -= 8
     hbe = hb + 2 * p
-    n_planes = cost.shape[1]
+    n_planes = cost.shape[0]
     wo = _round_up(max(W, 128), 128)
     woe = wo + 2 * p
     wcc = _round_up(woe + 2 * p, 128)
@@ -1055,9 +1100,10 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
         maps = [jnp.pad(m, ((0, need_rows - maps_rows), (0, 0)))
                 for m in maps]
         maps_rows = need_rows
-    if g_rows < hbe:
-        cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
-        g_rows = hbe
+    if g_rows < hb + 2 * pa:
+        cost = jnp.pad(cost,
+                       ((0, 0), (0, hb + 2 * pa - g_rows), (0, 0)))
+        g_rows = hb + 2 * pa
 
     unnormalized = _unnormalized_head(beta, D)
     kernel = functools.partial(
@@ -1079,7 +1125,7 @@ def _fused_train_bwd_c_impl(camera, projector, residual_maps, cost,
         scratch_shapes=[
             pltpu.VMEM((band_rows, wcc), camera.dtype),       # camera
             pltpu.VMEM((band_rows, pw), camera.dtype),        # projector
-            pltpu.VMEM((2, hbe + 2 * p, dt, wo),
+            pltpu.VMEM((2, dt, hb + 4 * pa, wo),
                        camera.dtype),                # cost tile (2 slots)
             pltpu.VMEM((hbe, woe), camera.dtype),             # gr margins
             pltpu.VMEM((hb + 4 * pa, wo), camera.dtype),      # am

@@ -153,9 +153,9 @@ def _box_from_band(band: jax.Array, k: int, hb: int, out_w: int,
                     col_start)
 
 
-def _banded_kernel(cam_hbm, proj_hbm, out_ref,
+def _banded_kernel(cam_hbm, proj_hbm, out_hbm,
                    cam_vmem, proj_vmem, sx_scr, ex2_scr, sy_scr, ey2_scr,
-                   sems,
+                   sems, vol_buf, out_sem,
                    *, D: int, k: int, eps: float, hb: int, dt: int,
                    wo: int, wcc: int, pw: int, syw: int, lp: int,
                    n_last: int):
@@ -164,10 +164,32 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
     DMA'd and its window statistics computed only at d_idx == 0.  The
     last disparity tile computes only its ``n_last`` real planes — the
     padded tail [D+1, n_d·dt) is skipped (its output is garbage by
-    contract, see ``padded=True``)."""
+    contract, see ``padded=True``).
+
+    Output discipline (round 4): the volume is written in **plane-major
+    (DHW) layout** ``[planes, h_pad, wo]`` via per-plane manual DMAs
+    from a 2-slot staging buffer.  Two reasons, both measured
+    (scripts/sweep6_volfwd_ablate.py):
+
+    * a per-plane store into an ``(hb, dt, wo)`` out-block hits ONE
+      sublane of each (8, 128) tile — 8× the vector stores of the
+      contiguous 2D store each plane gets here (shipped 2.13-2.16 ms vs
+      1.94-2.01 at KITTI);
+    * the out_specs revolver did NOT overlap the volume write with the
+      next step's compute (the dhw out_specs mirror still paid ~the
+      full write latency); each plane's DMA here starts the moment its
+      store lands and drains two grid steps later, hiding the write
+      behind compute (manual ≈ the no-store compute floor).
+
+    In HDW the plane axis is tiled in HBM and Mosaic rejects width-1
+    slices of it — plane-major is the only layout that admits per-plane
+    DMAs at all."""
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
+    n_h = pl.num_programs(0)
+    step = h_idx * n_d + d_idx
+    slot = lax.rem(step, 2)
     p = k // 2
     band_rows = _round_up(hb + 2 * p, 8)  # DMA slices need 8-row alignment
     inv_k2 = 1.0 / float(k * k)
@@ -198,6 +220,21 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
         ey2_scr[:, :] = (_box_from_band(proj * proj, k, hb, syw, row_mat)
                          - sy * sy * inv_k2)
 
+    def out_copy(sl, j):
+        return pltpu.make_async_copy(
+            vol_buf.at[sl, j],
+            out_hbm.at[d_idx * dt + j, pl.ds(h_idx * hb, hb), :],
+            out_sem.at[sl])
+
+    # Drain the dt copies issued two steps ago before overwriting the
+    # slot.  Every step issues exactly dt copies (the last tile DMAs its
+    # skipped planes' stale buffers too — they land inside the declared
+    # padding, garbage by contract) so the per-slot count is uniform.
+    @pl.when(step >= 2)
+    def _drain_prev():
+        for j in range(dt):
+            out_copy(slot, j).wait()
+
     band = cam_vmem[:, :]
     mux = sx_scr[:, :]          # μx · 1 (already divided by k²)
     ex2 = ex2_scr[:, :]
@@ -220,15 +257,16 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
         sxy = _box_from_band(prod, k, hb, wo, row_mat)
         exy = sxy - mux * syb[:, c0:c0 + wo]
         r = lax.rsqrt(ex2 * ey2b[:, c0:c0 + wo] + eps)
-        out_ref[:, j, :] = (exy + eps) * r
+        vol_buf[slot, j] = (exy + eps) * r
+        out_copy(slot, j).start()
 
     if n_last == dt:
         for j in range(dt):
             plane(j)
     else:
         # Padded tail planes carry no information — skip their compute in
-        # the last tile (their out-block planes stay uninitialized, which
-        # the padded-volume contract already declares garbage).
+        # the last tile (their DMA ships whatever the slot holds; the
+        # padded-volume contract already declares those planes garbage).
         @pl.when(d_idx != n_d - 1)
         def _full_tile():
             for j in range(dt):
@@ -238,6 +276,18 @@ def _banded_kernel(cam_hbm, proj_hbm, out_ref,
         def _last_tile():
             for j in range(n_last):
                 plane(j)
+            for j in range(n_last, dt):
+                out_copy(slot, j).start()
+
+    @pl.when(step == n_h * n_d - 1)
+    def _final_drain():
+        @pl.when(step >= 1)
+        def _other_slot():
+            other = lax.rem(step + 1, 2)
+            for j in range(dt):
+                out_copy(other, j).wait()
+        for j in range(dt):
+            out_copy(slot, j).wait()
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -272,7 +322,11 @@ def pallas_cost_volume_banded_hdw(
       interpret: run the kernel in interpreter mode (CPU testing).
 
     Returns:
-      ``[H, D+1, W]`` float32 cost volume.
+      ``[H, D+1, W]`` float32 cost volume; with ``padded=True`` the
+      kernel's native **plane-major** padded volume ``[ndt, h_pad, wo]``
+      (round 4 — rows-major ``[h_pad, ndt, wo]`` until round 3; the
+      plane-major layout admits full-efficiency per-plane stores and
+      DMAs, see ``_banded_kernel``).
     """
     if camera.ndim != 2 or camera.shape != projector.shape:
         raise ValueError(
@@ -342,9 +396,11 @@ def pallas_cost_volume_banded_hdw(
             pl.BlockSpec(memory_space=pl.ANY),   # camera band source (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # projector band source
         ],
-        out_specs=pl.BlockSpec(
-            (hb, dt, wo), lambda h, d: (h, d, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h_pad, vol_planes, wo), camera.dtype),
+        # Plane-major (DHW) volume, written by the kernel's own
+        # per-plane DMAs (see _banded_kernel docstring).
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((vol_planes, h_pad, wo),
+                                       camera.dtype),
         scratch_shapes=[
             pltpu.VMEM((band_rows, wcc), camera.dtype),   # camera band
             pltpu.VMEM((band_rows, pw), camera.dtype),    # projector band
@@ -353,6 +409,8 @@ def pallas_cost_volume_banded_hdw(
             pltpu.VMEM((hb, syw), camera.dtype),          # sy
             pltpu.VMEM((hb, syw), camera.dtype),          # ey2
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, dt, hb, wo), camera.dtype),    # plane staging
+            pltpu.SemaphoreType.DMA((2,)),                # out DMAs
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * k * H * W * (D + 1),
@@ -366,7 +424,7 @@ def pallas_cost_volume_banded_hdw(
         # disparity head can consume the padded volume directly.  Padded
         # rows/planes/columns contain garbage and must be masked off.
         return out
-    return out[:H, :D + 1, :W]
+    return jnp.swapaxes(out[:D + 1, :H, :W], 0, 1)
 
 
 def pallas_cost_volume_banded(
@@ -502,15 +560,15 @@ def _pallas_stereo_both(camera, projector, num_disparities, kernel_size,
 
 def _pallas_stereo_both_fwd(camera, projector, num_disparities, kernel_size,
                             epsilon, interpret):
-    # Produce the padded-HDW volume once; the parity layout is its
-    # (explicitly priced) transpose adapter, and the padded volume doubles
-    # as the cost residual for BOTH backward kernels.
-    hdw = pallas_cost_volume_banded_hdw(
+    # Produce the padded (plane-major) volume once; the parity layout is
+    # its (explicitly priced) transpose adapter, and the padded volume
+    # doubles as the cost residual for BOTH backward kernels.
+    vol = pallas_cost_volume_banded_hdw(
         camera, projector, num_disparities, kernel_size, epsilon,
         48, 8, interpret, True)
     H, W = camera.shape
-    cost = jnp.swapaxes(hdw[:H, :num_disparities + 1, :W], 1, 2)
-    return cost, (camera, projector, hdw)
+    cost = jnp.transpose(vol[:num_disparities + 1, :H, :W], (1, 2, 0))
+    return cost, (camera, projector, vol)
 
 
 def _pallas_stereo_both_bwd(num_disparities, kernel_size, epsilon, interpret,
@@ -519,14 +577,15 @@ def _pallas_stereo_both_bwd(num_disparities, kernel_size, epsilon, interpret,
         pallas_camera_grad_banded_hdw_with_cost,
         pallas_projector_grad_banded_hdw_with_cost,
     )
-    camera, projector, hdw = residuals
-    g_hdw = jnp.zeros(hdw.shape, hdw.dtype)
-    g_hdw = lax.dynamic_update_slice(g_hdw, jnp.swapaxes(g, 1, 2), (0, 0, 0))
+    camera, projector, vol = residuals
+    g_vol = jnp.zeros(vol.shape, vol.dtype)
+    g_vol = lax.dynamic_update_slice(g_vol, jnp.transpose(g, (2, 0, 1)),
+                                     (0, 0, 0))
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
-        camera, projector, hdw, g_hdw, num_disparities, kernel_size,
+        camera, projector, vol, g_vol, num_disparities, kernel_size,
         epsilon, 48, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
-        camera, projector, hdw, g_hdw, num_disparities, kernel_size,
+        camera, projector, vol, g_vol, num_disparities, kernel_size,
         epsilon, 48, 8, interpret)
     return cam_grad, proj_grad
 
@@ -544,13 +603,16 @@ def stereo_matching_pallas_hdw(
     interpret: bool = False,
     grad_projector: bool = False,
 ) -> jax.Array:
-    """Differentiable banded ZNCC cost volume in **padded HDW layout**.
+    """Differentiable banded ZNCC cost volume in the **padded
+    plane-major (DHW) layout**.
 
     The production training path.  Returns the kernel's native
-    ``[h_pad, ndt, wo]`` volume (``h_pad = ceil(H/hb)·hb``,
-    ``ndt = D+1 rounded up to the disparity tile``, ``wo = W rounded up
-    to 128``); entries outside ``[:H, :D+1, :W]`` are garbage — padded
-    planes are not even written — and MUST be excluded from any loss — use the padded-aware head
+    ``[ndt, h_pad, wo]`` volume (``ndt = D+1 rounded up to the disparity
+    tile``, ``h_pad = ceil(H/hb)·hb``, ``wo = W rounded up to 128``;
+    plane-major since round 4 — full-efficiency per-plane stores/DMAs,
+    see ``_banded_kernel``); entries outside ``[:D+1, :H, :W]`` are
+    garbage — padded planes are not even written — and MUST be excluded
+    from any loss — use the padded-aware head
     (:func:`..disparity.extract_disparity_hdw`), whose masking also
     guarantees the zero-cotangent contract of the direct-DMA backward.
 

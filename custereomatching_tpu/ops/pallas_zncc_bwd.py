@@ -58,11 +58,16 @@ def _bwd_kernel(*refs,
                 have_c: bool):
     """``direct_g=False``: the cotangent source is pre-padded to band
     coordinates ``[src_rows, n_d·dt, wcc]`` (image at offset (2p, 0, 2p)).
-    ``direct_g=True``: the cotangent is the kernel's own padded-HDW
-    volume ``[g_rows, n_d·dt, wo]`` with NO margins — the DMA offset is
-    clamped at the array edges and the out-of-image halo rows are masked
-    to zero in-register.  This avoids any XLA-side pad of the ~0.5 GB
-    cotangent (measured ~3.7 ms, dwarfing the copy's bandwidth cost).
+    ``direct_g=True``: the cotangent is the kernel's own padded
+    plane-major volume ``[n_d·dt, g_rows, wo]`` (round 4; rows-major
+    until round 3) with NO margins — rows are a TILED dim of that
+    layout, so the halo'd row window is staged from an 8-aligned source
+    offset with the clamp folded into the (8-aligned) destination
+    offset, putting the window at the STATIC buffer offset ``2·pa − p``;
+    out-of-image halo rows are masked to zero in-register.  This avoids
+    any XLA-side pad of the ~0.5 GB cotangent (measured ~3.7 ms,
+    dwarfing the copy's bandwidth cost), and each plane's read is a
+    dense 2D tile instead of one sublane per (dt, 128) tile.
 
     Layout notes for the per-plane hot loop:
       * every elementwise operand is stored at the aligned center-column
@@ -151,14 +156,24 @@ def _bwd_kernel(*refs,
     step = h_idx * n_d + d_idx
     slot = lax.rem(step, 2)
 
+    pa = _round_up(p, 8)
+    crows = hb + 2 * pa                    # staged rows (8-multiple)
+    qc = 2 * pa - p                        # static buffer row of r0 − p
+
     def _issue(hi, di, sl):
         r0i = hi * hb
         copies = []
         if direct_g:
-            s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+            # Plane-major source: rows are tiled, so stage crows rows
+            # from the 8-aligned offset r0 − pa with the edge clamp
+            # folded into the (8-aligned) destination offset — image row
+            # r0 − p + t then sits at the STATIC buffer row qc + t.
+            s0i = pl.multiple_of(
+                jnp.clip(r0i - pa, 0, g_rows - crows), 8)
+            o_g = pl.multiple_of(pa - ((r0i - pa) - s0i), 8)
             copies.append(pltpu.make_async_copy(
-                g_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
-                g_vmem.at[sl, pl.ds(p, hbe)], sems.at[2 + sl]))
+                g_hbm.at[pl.ds(di * dt, dt), pl.ds(s0i, crows), :],
+                g_vmem.at[sl, :, pl.ds(o_g, crows)], sems.at[2 + sl]))
         else:
             copies.append(pltpu.make_async_copy(
                 g_hbm.at[pl.ds(r0i, band_rows), pl.ds(di * dt, dt), :],
@@ -166,10 +181,12 @@ def _bwd_kernel(*refs,
         if have_c:
             # Extended rows, same addressing as the cotangent: the
             # ext-extent B term needs c at the halo rows too.
-            s0c = jnp.clip(r0i - p, 0, g_rows - hbe)
+            s0c = pl.multiple_of(
+                jnp.clip(r0i - pa, 0, g_rows - crows), 8)
+            o_c = pl.multiple_of(pa - ((r0i - pa) - s0c), 8)
             copies.append(pltpu.make_async_copy(
-                c_hbm.at[pl.ds(s0c, hbe), pl.ds(di * dt, dt), :],
-                c_vmem.at[sl, pl.ds(p, hbe)], sems.at[4 + sl]))
+                c_hbm.at[pl.ds(di * dt, dt), pl.ds(s0c, crows), :],
+                c_vmem.at[sl, :, pl.ds(o_c, crows)], sems.at[4 + sl]))
         return copies
 
     @pl.when(step == 0)
@@ -199,11 +216,8 @@ def _bwd_kernel(*refs,
         cp.wait()
 
     if direct_g:
-        # Row correction shared by every plane of this tile (the slice
-        # itself stays per-plane — hoisting the whole tile into one
-        # dynamic read measured slightly SLOWER and costs ~3 MB VMEM,
-        # forcing smaller row tiles).
-        delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
+        # Halo rows outside the cotangent's extent read stale buffer
+        # content (the clamped DMA never wrote them) — mask to zero.
         trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
         rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                                 trow + (r0 - p) < g_rows)
@@ -231,7 +245,7 @@ def _bwd_kernel(*refs,
 
         if direct_g:
             raw = jnp.where(rmask,
-                            g_vmem[slot, pl.ds(delta + p, hbe), j, :],
+                            g_vmem[slot, j, qc:qc + hbe, :],
                             0.0)                            # [hbe, wo]
         else:
             # Pre-padded band coordinates: band row s ↔ image row
@@ -252,7 +266,7 @@ def _bwd_kernel(*refs,
             # contribute exact zeros — the cotangent is zero there by
             # contract, so raw is).  n·r³·ey2 = c·r²·ey2.
             c_t = jnp.where(rmask,
-                            c_vmem[slot, pl.ds(delta + p, hbe), j, :],
+                            c_vmem[slot, j, qc:qc + hbe, :],
                             0.0)                            # [hbe, wo]
             b_scr[:, :] = b_scr[:, :] + ((raw * c_t)
                                          * ((r * r) * ey2c))
@@ -318,8 +332,9 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     if direct_g:
         # No row tile may straddle the volume's padded extent: the
         # clamped DMA would deliver shifted rows for in-range outputs.
+        # (Plane-major cotangent: rows live on axis 1.)
         H0 = camera.shape[0]
-        while hb > 8 and -(-H0 // hb) * hb > max(g_src.shape[0], H0):
+        while hb > 8 and -(-H0 // hb) * hb > max(g_src.shape[1], H0):
             hb -= 8
     H, W = camera.shape
     p = k // 2
@@ -345,20 +360,23 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     proj_p = jnp.zeros((src_rows, pw), projector.dtype)
     proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, lp + 2 * p))
 
-    g_rows = g_src.shape[0]
-    if direct_g and g_rows < hbe:
-        # Tiny inputs only: the clamped DMA needs at least hbe source rows.
-        g_src = jnp.pad(g_src, ((0, hbe - g_rows), (0, 0), (0, 0)))
+    pa = _round_up(p, 8)
+    crows = hb + 2 * pa
+    g_rows = g_src.shape[1] if direct_g else g_src.shape[0]
+    if direct_g and g_rows < crows:
+        # Tiny inputs only: the aligned staging needs at least crows
+        # source rows.
+        g_src = jnp.pad(g_src, ((0, 0), (0, crows - g_rows), (0, 0)))
         if have_c:
-            cost = jnp.pad(cost, ((0, hbe - g_rows), (0, 0), (0, 0)))
-        g_rows = hbe
+            cost = jnp.pad(cost, ((0, 0), (0, crows - g_rows), (0, 0)))
+        g_rows = crows
     if have_c and cost.shape != g_src.shape:
         raise ValueError(
             f"cost residual shape {cost.shape} != cotangent {g_src.shape}")
 
     # Two slots: double-buffered per-step prefetch (see _bwd_kernel).
     if direct_g:
-        g_scratch = pltpu.VMEM((2, hbe + 2 * p, dt, wo), camera.dtype)
+        g_scratch = pltpu.VMEM((2, dt, hb + 4 * pa, wo), camera.dtype)
     else:
         g_scratch = pltpu.VMEM((2, band_rows, dt, wcc), camera.dtype)
 
@@ -386,7 +404,7 @@ def _run_bwd(camera, projector, g_src, D, k, eps, hb, dt, n_d,
     ]
     inputs = (cam_p, proj_p, g_src)
     if have_c:
-        scratch.insert(3, pltpu.VMEM((2, hbe + 2 * p, dt, wo),
+        scratch.insert(3, pltpu.VMEM((2, dt, hb + 4 * pa, wo),
                                      camera.dtype))       # c tile (2 slots)
         inputs = (cam_p, proj_p, g_src, cost)
 
@@ -500,13 +518,14 @@ def pallas_camera_grad_banded_hdw(
     block_disparities: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
-    """Camera VJP taking the cotangent in the kernel's own padded-HDW
-    layout ``[h_pad, ndt, wo]`` (what autodiff produces when the loss
-    consumes :func:`..pallas_zncc.pallas_cost_volume_banded_hdw` with
-    ``padded=True``).  The cotangent is DMA'd straight from HBM with
-    clamped offsets — NO XLA-side pad/transpose of the ~0.5 GB volume
-    (measured ~4 ms, i.e. more than the whole backward kernel's useful
-    work).
+    """Camera VJP taking the cotangent in the kernel's own padded
+    plane-major layout ``[ndt, h_pad, wo]`` (what autodiff produces when
+    the loss consumes :func:`..pallas_zncc.pallas_cost_volume_banded_hdw`
+    with ``padded=True``; rows-major ``[h_pad, ndt, wo]`` until
+    round 3).  The cotangent is DMA'd straight from HBM with aligned,
+    clamp-folded offsets — NO XLA-side pad/transpose of the ~0.5 GB
+    volume (measured ~4 ms, i.e. more than the whole backward kernel's
+    useful work).
 
     Contract: cotangent entries for padded rows/planes/columns must be
     zero — true by construction when the loss reads only valid
@@ -517,7 +536,7 @@ def pallas_camera_grad_banded_hdw(
     k = int(kernel_size)
     hb = _round_up(int(block_rows), 8)
     wo = _round_up(max(W, 128), 128)
-    n_planes = padded_hdw_grad.shape[1]
+    n_planes = padded_hdw_grad.shape[0]
     if padded_hdw_grad.shape[2] != wo:
         raise ValueError(
             f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
@@ -627,21 +646,28 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
     r0 = h_idx * hb
     step = h_idx * pl.num_programs(1) + d_idx
     slot = lax.rem(step, 2)
+    pa = _round_up(p, 8)
+    crows = hb + 2 * pa
+    qc = 2 * pa - p                    # static buffer row of r0 − p
 
     # Lane offset 0: DMA lane offsets must be 128-aligned, so the −p of
     # the e-coordinate is folded into the rolls below instead (the
     # wrapped-in columns land in the staging buffers' zero margins).
+    # Plane-major sources (round 4): rows are a tiled dim, so the halo'd
+    # g window stages from the 8-aligned offset r0 − pa with the clamp
+    # folded into the destination offset (static read row qc + t).
     # Two slots each: double-buffered per-step prefetch.
     def _issue(hi, di, sl):
         r0i = hi * hb
-        s0i = jnp.clip(r0i - p, 0, g_rows - hbe)
+        s0i = pl.multiple_of(jnp.clip(r0i - pa, 0, g_rows - crows), 8)
+        o_g = pl.multiple_of(pa - ((r0i - pa) - s0i), 8)
         g_dma = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(s0i, hbe), pl.ds(di * dt, dt), :],
-            g_vmem.at[sl, pl.ds(p, hbe), slice(None), pl.ds(0, wo)],
+            g_hbm.at[pl.ds(di * dt, dt), pl.ds(s0i, crows), :],
+            g_vmem.at[sl, slice(None), pl.ds(o_g, crows), pl.ds(0, wo)],
             sems.at[2 + sl])
         c_dma = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb),
-                     pl.ds(di * dt, dt), :],
+            c_hbm.at[pl.ds(di * dt, dt),
+                     pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb), :],
             c_vmem.at[sl, slice(None), slice(None), pl.ds(0, wo)],
             sems.at[4 + sl])
         return g_dma, c_dma
@@ -679,7 +705,6 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
     for cp in _issue(h_idx, d_idx, slot):
         cp.wait()
 
-    delta = (r0 - p) - jnp.clip(r0 - p, 0, g_rows - hbe)
     trow = lax.broadcasted_iota(jnp.int32, (hbe, 1), 0)
     rmask = jnp.logical_and(trow + (r0 - p) >= 0,
                             trow + (r0 - p) < g_rows)
@@ -695,7 +720,7 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
         gc_shift = jnp.mod(jnp.int32(p) - d_base, gw)
         graw = jnp.where(
             rmask,
-            pltpu.roll(g_vmem[slot, pl.ds(delta + p, hbe), j, :],
+            pltpu.roll(g_vmem[slot, j, qc:qc + hbe, :],
                        gc_shift, axis=1)[:, j:j + won],
             0.0)                                       # [hbe, won] g̃
         gr = graw * r
@@ -705,7 +730,7 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
         c_sl = (slice(p, p + hb), slice(None))
         z2_scr[:, :] = z2_scr[:, :] + gr[c_sl] * mux_roll[p:p + hb,
                                                           j:j + won]
-        c_sh = pltpu.roll(c_vmem[slot, :, j, :], gc_shift,
+        c_sh = pltpu.roll(c_vmem[slot, j, :, :], gc_shift,
                           axis=1)[:, j:j + won]        # [hb, won] c̃
         r_c = r[c_sl]
         z3_scr[:, :] = z3_scr[:, :] + (graw[c_sl] * c_sh
@@ -760,7 +785,7 @@ def pallas_projector_grad_banded_hdw_with_cost(
     p = k // 2
     hb = _round_up(int(block_rows), 8)
     wo = _round_up(max(W, 128), 128)
-    n_planes = padded_hdw_grad.shape[1]
+    n_planes = padded_hdw_grad.shape[0]
     if padded_hdw_grad.shape[2] != wo:
         raise ValueError(
             f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
@@ -779,8 +804,9 @@ def pallas_projector_grad_banded_hdw_with_cost(
 
     hbe = hb + 2 * p
     # No row tile may straddle the volume's padded extent (clamped DMA
-    # would deliver shifted rows); mirror _run_bwd's guard.
-    while hb > 8 and -(-H // hb) * hb > max(padded_hdw_grad.shape[0], H):
+    # would deliver shifted rows); mirror _run_bwd's guard.  Plane-major
+    # cotangent: rows live on axis 1.
+    while hb > 8 and -(-H // hb) * hb > max(padded_hdw_grad.shape[1], H):
         hb -= 8
         hbe = hb + 2 * p
 
@@ -804,13 +830,15 @@ def pallas_projector_grad_banded_hdw_with_cost(
     proj_p = jnp.zeros((src_rows, wcc), projector.dtype)
     proj_p = lax.dynamic_update_slice(proj_p, projector, (2 * p, 2 * p))
 
-    g_rows = padded_hdw_grad.shape[0]
-    if g_rows < hbe:
+    pa = _round_up(p, 8)
+    crows = hb + 2 * pa
+    g_rows = padded_hdw_grad.shape[1]
+    if g_rows < crows:
         padded_hdw_grad = jnp.pad(padded_hdw_grad,
-                                  ((0, hbe - g_rows), (0, 0), (0, 0)))
+                                  ((0, 0), (0, crows - g_rows), (0, 0)))
         cost_volume_hdw = jnp.pad(cost_volume_hdw,
-                                  ((0, hbe - g_rows), (0, 0), (0, 0)))
-        g_rows = hbe
+                                  ((0, 0), (0, crows - g_rows), (0, 0)))
+        g_rows = crows
     if cost_volume_hdw.shape != padded_hdw_grad.shape:
         raise ValueError(
             f"cost residual shape {cost_volume_hdw.shape} != cotangent "
@@ -836,9 +864,9 @@ def pallas_projector_grad_banded_hdw_with_cost(
         scratch_shapes=[
             pltpu.VMEM((band_rows, cw), camera.dtype),        # camera band
             pltpu.VMEM((band_rows, wcc), camera.dtype),       # projector
-            pltpu.VMEM((2, hbe + 2 * p, dt, gw),
+            pltpu.VMEM((2, dt, hb + 4 * pa, gw),
                        camera.dtype),                 # g staging (2 slots)
-            pltpu.VMEM((2, hb, dt, gw), camera.dtype),        # c (2 slots)
+            pltpu.VMEM((2, dt, hb, gw), camera.dtype),        # c (2 slots)
             pltpu.VMEM((hbe, sxw), camera.dtype),             # μx
             pltpu.VMEM((hbe, sxw), camera.dtype),             # ex2
             pltpu.VMEM((hbe, won), camera.dtype),             # ey2 (proj)
@@ -900,8 +928,9 @@ def pallas_camera_grad_banded_hdw_with_cost(
     reference's design point: its backward rematerializes everything
     from the inputs (custma/src/stereo_matching_kernel.cu:97-128).
 
-    ``cost_volume_hdw`` and ``padded_hdw_grad`` must share the padded-HDW
-    layout produced by :func:`..pallas_zncc.stereo_matching_pallas_hdw`.
+    ``cost_volume_hdw`` and ``padded_hdw_grad`` must share the padded
+    plane-major ``[ndt, h_pad, wo]`` layout produced by
+    :func:`..pallas_zncc.stereo_matching_pallas_hdw`.
 
     Contract: cotangent entries for padded rows/planes/columns MUST be
     zero (true by construction when the loss reads the volume through the
@@ -916,7 +945,7 @@ def pallas_camera_grad_banded_hdw_with_cost(
     k = int(kernel_size)
     hb = _round_up(int(block_rows), 8)
     wo = _round_up(max(W, 128), 128)
-    n_planes = padded_hdw_grad.shape[1]
+    n_planes = padded_hdw_grad.shape[0]
     if padded_hdw_grad.shape[2] != wo:
         raise ValueError(
             f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "

@@ -159,7 +159,7 @@ def _trainable_bwd_vmem(H, W, D, k, hb, dt) -> float:
     band_rows = _round_up(hbe + 2 * p, 8)
     pa = _round_up(p, 8)
     scratch = (band_rows * (wcc + pw)            # bands
-               + 2 * (hbe + 2 * p) * dt * wo     # cost tile, 2 slots
+               + 2 * dt * (hb + 4 * pa) * wo     # cost tile, 2 slots
                + hbe * woe                       # gr margins
                + 7 * (hb + 4 * pa) * wo          # 2D aligned map staging
                + 2 * hbe * wo                    # μx / ex2

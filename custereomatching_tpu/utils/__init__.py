@@ -11,12 +11,16 @@ from custereomatching_tpu.utils.metrics import (
     end_point_error,
 )
 from custereomatching_tpu.utils.kernel_model import (
+    allpairs_backward_cost,
     allpairs_forward_cost,
     fused_backward_c_cost,
     fused_backward_cost,
     fused_forward_cost,
     kernel_bound,
     measure_vpu_rates,
+    projector_backward_cost,
+    stage_op_cost,
+    transpose_volume_cost,
     volume_backward_cost,
     volume_forward_cost,
 )
@@ -36,6 +40,7 @@ __all__ = [
     "device_specs",
     "disparity_metrics",
     "end_point_error",
+    "allpairs_backward_cost",
     "allpairs_forward_cost",
     "fused_backward_c_cost",
     "fused_backward_cost",
@@ -43,6 +48,9 @@ __all__ = [
     "is_transient_device_error",
     "kernel_bound",
     "measure_vpu_rates",
+    "projector_backward_cost",
+    "stage_op_cost",
+    "transpose_volume_cost",
     "trace",
     "volume_backward_cost",
     "volume_forward_cost",

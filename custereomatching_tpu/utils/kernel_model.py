@@ -49,6 +49,12 @@ _OP_MODES = ("madd", "lshift", "sshift", "exp", "rsqrt", "boxadd",
 # classes these are measured by microbenchmarks that reproduce the
 # access pattern, never calibrated against the production kernels.
 _DMA_MODES = ("hbm_r3d", "hbm_w3d")
+# Measured XLA (non-Pallas) volume-op rates: ``xla_t3d`` is seconds per
+# byte (read+write counted) of the parity adapter's slice+transpose of
+# a plane-major volume to [H, W, D+1] — a minor-dims relayout, several
+# times slower than a streaming copy, which datasheet bandwidth would
+# badly understate.
+_XLA_MODES = ("xla_t3d",)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -304,6 +310,35 @@ def _run_dma_rate(mode: str, *, interpret: bool = False) -> float:
     return max(slopes[len(slopes) // 2], 1e-15) / total_bytes
 
 
+def _run_xla_rate(mode: str) -> float:
+    """Measured seconds-per-byte of an XLA volume op (KITTI-scale)."""
+    import time
+
+    if mode != "xla_t3d":
+        raise ValueError(mode)
+    P, Hh, Ww = 200, 384, 1280
+    D1, H1, W1 = 193, 375, 1242
+    src = jnp.ones((P, Hh, Ww), jnp.float32)
+    fn = jax.jit(lambda v: jnp.transpose(v[:D1, :H1, :W1], (1, 2, 0)))
+
+    def _fence(x):
+        return float(jnp.asarray(x).reshape(-1)[0])
+
+    def chain(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(src)
+        _fence(out)
+        return time.perf_counter() - t0
+
+    _fence(fn(src))
+    chain(4)
+    slopes = sorted((chain(12) - chain(4)) / 8 for _ in range(5))
+    total_bytes = 2 * D1 * H1 * W1 * 4        # read + write
+    return max(slopes[len(slopes) // 2], 1e-15) / total_bytes
+
+
 def _box_tree_elems(k: int, in_rows: int, out_rows: int, in_cols: int,
                     out_cols: int) -> float:
     """Counted tree-add elements of one _box_from_band call."""
@@ -336,7 +371,9 @@ def measure_vpu_rates(force: bool = False,
     have = cache.get(kind, {})
     missing_op = [m for m in _OP_MODES if m not in have]
     missing_dma = [m for m in _DMA_MODES if m not in have]
-    if not force and kind in cache and not (missing_op or missing_dma):
+    missing_xla = [m for m in _XLA_MODES if m not in have]
+    if not force and kind in cache and not (missing_op or missing_dma
+                                            or missing_xla):
         return dict(have)
     if not measure_if_missing and not force:
         # A partial cache (written before newer classes existed) is
@@ -357,6 +394,11 @@ def measure_vpu_rates(force: bool = False,
                           for _ in range(3)]
             rates.update({m: sorted(r[m] for r in dma_rounds)[1]
                           for m in missing_dma})
+        if missing_xla:
+            xla_rounds = [{m: _run_xla_rate(m) for m in missing_xla}
+                          for _ in range(3)]
+            rates.update({m: sorted(r[m] for r in xla_rounds)[1]
+                          for m in missing_xla})
         cache[kind] = rates
         try:
             with open(path, "w") as f:
@@ -372,6 +414,10 @@ def measure_vpu_rates(force: bool = False,
                   for _ in range(3)]
     rates.update({m: sorted(r[m] for r in dma_rounds)[1]
                   for m in _DMA_MODES})
+    xla_rounds = [{m: _run_xla_rate(m) for m in _XLA_MODES}
+                  for _ in range(3)]
+    rates.update({m: sorted(r[m] for r in xla_rounds)[1]
+                  for m in _XLA_MODES})
     cache[kind] = rates
     try:
         with open(path, "w") as f:
@@ -773,6 +819,122 @@ def volume_backward_cost(H: int, W: int, D: int, k: int,
     return total
 
 
+def projector_backward_cost(H: int, W: int, D: int, k: int,
+                            hb: int = 48, dt: int = 8) -> OpCount:
+    """Op/byte counts of the projector-gradient backward
+    (ops/pallas_zncc_bwd.py::_proj_bwd_kernel + its XLA box epilogue):
+    per plane one rsqrt'd stats product, a per-plane dynamic roll of the
+    staged cotangent AND of the cost tile (the +d gathers), one box
+    pass, three accumulations; per tile the camera-side rolls; per row
+    tile the stats and the three map stores; globally the 4-box XLA
+    epilogue."""
+    p = k // 2
+    hb = _round_up(hb, 8)
+    hbe = hb + 2 * p
+    n_planes = _round_up(D + 1, 8)
+    dtv = 8
+    for cand in range(8, _round_up(dt, 8) + 1, 8):
+        if n_planes % cand == 0:
+            dtv = cand
+    n_d = n_planes // dtv
+    wo = _round_up(max(W, 128), 128)
+    won = wo + 128                          # lane-aligned ext width
+    lp = _round_up(max(D + 1, n_d * dtv), 128)
+    gw = _round_up(won + lp, 128)           # g/c staging width
+    sxw = _round_up(won + lp, 128)          # camera stats width
+    cw = _round_up(sxw + 2 * p, 128)        # camera band width
+    wcc = _round_up(won + 2 * p, 128)       # projector band width
+    n_h = -(-H // hb)
+    band_rows = _round_up(hbe + 2 * p, 8)
+
+    per_plane = OpCount()
+    per_plane = per_plane + OpCount(lshift=hbe * won, rsqrt=hbe * won)  # r
+    per_plane = per_plane + OpCount(lshift=hbe * gw)      # g̃ roll
+    per_plane = per_plane + OpCount(madd=2 * hbe * won)   # mask, gr
+    per_plane = per_plane + _box_ops(k, hbe, hb, won, wo)  # box(gr)
+    per_plane = per_plane + OpCount(lshift=2 * hb * wo)   # a1p += ·cam
+    per_plane = per_plane + OpCount(lshift=hb * won, madd=2 * hb * won)  # z2
+    per_plane = per_plane + OpCount(lshift=hb * gw)       # c̃ roll
+    per_plane = per_plane + OpCount(madd=4 * hb * won)    # z3
+
+    tile = per_plane.scaled(D + 1)
+    # Camera-side rolls (band + μx + ex2), once per disparity tile.
+    tile = tile + OpCount(
+        lshift=(band_rows * cw + 2 * hbe * sxw) * n_d)
+    # Stats: camera boxes at sxw width, projector boxes at won width.
+    tile = tile + _box_ops(k, band_rows, hbe, cw, sxw).scaled(2)
+    tile = tile + _box_ops(k, band_rows, hbe, wcc, won).scaled(2)
+    tile = tile + OpCount(madd=band_rows * (cw + wcc)
+                          + 2 * hbe * (sxw + won))
+    # Accumulator zero-init + epilogue stores (three maps).
+    tile = tile + OpCount(madd=2 * hb * (wo + 2 * won))
+
+    total = tile.scaled(n_h)
+    # XLA epilogue: 4 box2d passes over ~[H, won]-extent fields + the
+    # elementwise combine.
+    total = total + _box_ops(k, H + 2 * p, H, won + 2 * p, won).scaled(4)
+    total = total + OpCount(madd=6 * H * W)
+    total.bytes_r = (n_h * band_rows * (cw + wcc) * 4
+                     + n_h * hbe * n_planes * wo * 4      # cotangent
+                     + n_h * hb * n_planes * wo * 4)      # cost residual
+    total.bytes_w = n_h * hb * (wo + 2 * won) * 4         # three maps
+    # Epilogue traffic: reads the three maps + projector, writes grad.
+    total.bytes_r += (H * (wo + 2 * won) + H * W) * 4
+    total.bytes_w += H * W * 4
+    total.bytes = total.bytes_r + total.bytes_w
+    return total
+
+
+def allpairs_backward_cost(H: int, W: int, k: int) -> OpCount:
+    """Mandatory-traffic LOWER bound of the all-pairs camera backward
+    (ops/zncc.py::_camera_grad_allpairs — an XLA program, not a Pallas
+    kernel).
+
+    Unlike the Pallas kernels, the op-by-op dataflow here is XLA's to
+    schedule and fuse — structural per-pass counts measured ABOVE the
+    achieved time (i.e. a broken bound) because XLA fuses the
+    elementwise/reduction passes into the two volume reads.  What no
+    schedule can avoid: reading the cotangent and the cost residual
+    volumes once each, reading the images, writing the gradient.
+    Priced at datasheet bandwidth (the optimistic leg), so achieved-%
+    against it is a true fraction of speed-of-light."""
+    vol = H * W * W
+    c = OpCount()
+    c.bytes = (2 * vol + 2 * H * W) * 4 + H * W * 4
+    return c
+
+
+def transpose_volume_cost(H: int, W: int, D: int) -> OpCount:
+    """Byte counts of the parity-layout adapter's volume transpose
+    ([h_pad, ndt, wo] padded HDW → [H, W, D+1]): priced with the
+    measured ``xla_t3d`` rate when available (an XLA minor-dims
+    transpose is a relayout, not a streaming copy — datasheet bandwidth
+    would overstate it ~2.5x)."""
+    c = OpCount()
+    c.bytes_r = H * (D + 1) * W * 4
+    c.bytes_w = H * W * (D + 1) * 4
+    c.bytes = c.bytes_r + c.bytes_w
+    return c
+
+
+def stage_op_cost(H: int, W: int, D: int, S: int, k: int,
+                  hb: int = 32, dt: int = 40) -> OpCount:
+    """Op/byte counts of one pipeline-parallel stage op
+    (parallel/pipeline.py::chunk_state on a Pallas backend): the fused
+    forward at (D+1)/S planes over the stage-padded width
+    (W + (D+1) − chunk extra columns), plus the pad/shift/lift glue."""
+    chunk = -(-(D + 1) // S)
+    W_pad = W + (D + 1) - chunk
+    c = fused_forward_cost(H, W_pad, chunk - 1, k, hb, dt)
+    # Glue: projector roll+mask (shift_right), the four map crops and
+    # the state lift (am+off, t+off·s) — ~4 image-sized passes.
+    c = c + OpCount(madd=4 * H * W_pad)
+    c.bytes_r += 2 * H * W_pad * 4
+    c.bytes_w += 4 * H * W * 4
+    c.bytes = c.bytes_r + c.bytes_w
+    return c
+
+
 def allpairs_forward_cost(H: int, W: int, k: int, hr: int = 8) -> OpCount:
     """Op/byte counts of the Pallas/MXU all-pairs forward
     (ops/pallas_allpairs.py::_allpairs_kernel): per output row one
@@ -826,7 +988,10 @@ def kernel_bound(cost: OpCount, rates: Optional[Dict[str, float]] = None,
     return out
 
 
-__all__ = ["OpCount", "allpairs_forward_cost", "fused_forward_cost",
+__all__ = ["OpCount", "allpairs_forward_cost", "allpairs_backward_cost",
+           "fused_forward_cost",
            "fused_backward_c_cost", "fused_backward_cost",
+           "projector_backward_cost", "stage_op_cost",
+           "transpose_volume_cost",
            "volume_forward_cost", "volume_backward_cost", "kernel_bound",
            "measure_vpu_rates"]

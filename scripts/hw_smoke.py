@@ -115,15 +115,16 @@ def run_case(records, H, W, D, K):
         vol = jax.jit(lambda c, p: stereo_matching_pallas_hdw(
             c, p, D, K))(cam, proj)
         want = golden.zncc_cost_volume(cam, proj, D, K)
-        got = np.swapaxes(np.asarray(vol)[:H, :D + 1, :W], 1, 2)
+        # Plane-major padded volume [ndt, h_pad, wo] (round 4).
+        got = np.transpose(np.asarray(vol)[:D + 1, :H, :W], (1, 2, 0))
         np.testing.assert_allclose(got, np.asarray(want), atol=2e-5,
                                    rtol=2e-5)
 
     def hdw_grad():
         def loss(c):
             v = stereo_matching_pallas_hdw(c, proj, D, K)
-            hi = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) < H
-            di = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) <= D
+            di = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) <= D
+            hi = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < H
             wi = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2) < W
             return jnp.sum(jnp.where(hi & di & wi, v, 0.0))
         g = jax.jit(jax.grad(loss))(cam)

@@ -215,7 +215,8 @@ def main():
                       f"{str(e).splitlines()[0][:100]}", flush=True)
 
     if which in ("bwd", "all"):
-        g = jnp.asarray(rng.random((384, 200, 1280), dtype=np.float32))
+        # Plane-major padded cotangent (round 4).
+        g = jnp.asarray(rng.random((200, 384, 1280), dtype=np.float32))
         for hb in (80, 96):
             try:
                 fn = jax.jit(

@@ -431,9 +431,10 @@ def build(hb=40, dt=16, go=None, pair=1, shape=None, interpret=False,
 
     data = (cam_p, proj_p, am, mask, s, t, gs, gc, cost)
     flat = ((m if maps2d else m[:, 0]) for m in (am, mask, s, t, gs, gc))
-    # The production reference consumes the row-major HDW layout.
+    # The production reference consumes the plane-major (DHW) layout
+    # since round 4 — the mirror's non-dhw variants transpose for it.
     raw = (camera, projector, *flat,
-           cost.transpose(1, 0, 2) if dhw else cost)
+           cost if dhw else cost.transpose(1, 0, 2))
     return run, data, raw
 
 

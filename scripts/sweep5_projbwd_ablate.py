@@ -355,8 +355,11 @@ def check(configs=("full", "pair2", "pair4", "dt16")):
         t3 = projector * box2d(z3e, Kc)[:, p:p + Wc]
         t4 = box2d(muy_e * z3e, Kc)[:, p:p + Wc]
         got = a1p - t2 - t3 + t4
+        # The mirror keeps round-3's rows-major staging; production
+        # consumes the plane-major layout since round 4.
         want = pallas_projector_grad_banded_hdw_with_cost(
-            camera, projector, cost, g, Dc, Kc, EPS,
+            camera, projector, cost.transpose(1, 0, 2),
+            g.transpose(1, 0, 2), Dc, Kc, EPS,
             block_rows=cfg["hb"], block_disparities=cfg.get("dt", 8),
             interpret=True)
         err = float(jnp.max(jnp.abs(got - want)))

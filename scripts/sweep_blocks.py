@@ -82,8 +82,9 @@ def main():
     if which in ("bwd", "all"):
         n_planes = 200
         wo = 1280
+        # Plane-major padded cotangent (round 4).
         g = jnp.asarray(
-            rng.random((384, n_planes, wo), dtype=np.float32))
+            rng.random((n_planes, 384, wo), dtype=np.float32))
         for hb, dt in [(48, 8), (64, 8), (96, 8), (112, 8), (64, 40)]:
             try:
                 fn = jax.jit(

@@ -40,6 +40,19 @@ def test_matches_xla_path(shape):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_y_tiled_matches_single_tile():
+    """Round 4: the output's y axis tiles (large-W coverage).  Forcing
+    yt=128 at wo=256 (n_y=2) must be bit-identical to the one-tile run —
+    the im2col stacks are built once per row block and shared."""
+    H, W, K = 16, 150, 15
+    cam, proj = _pair(H, W, seed=3)
+    one = pallas_cost_volume_allpairs(cam, proj, K, 1e-8, 8, True,
+                                      "highest", 0)
+    tiled = pallas_cost_volume_allpairs(cam, proj, K, 1e-8, 8, True,
+                                        "highest", 128)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(tiled))
+
+
 def test_matches_public_op_and_grad():
     """Differentiable wrapper: forward equals the public all-pairs op,
     camera grad equals the XLA custom-vjp's, projector grad is zero."""

@@ -50,7 +50,8 @@ def test_bwd_kernel_matches_golden(shape):
 
 
 def test_bwd_kernel_direct_hdw_cotangent():
-    """Direct-DMA mode: cotangent in the kernel's padded-HDW layout."""
+    """Direct-DMA mode: cotangent in the kernel's padded plane-major
+    layout ``[ndt, h_pad, wo]`` (round 4)."""
     H, W, D, K, hb = 24, 150, 10, 5, 8
     rng = np.random.default_rng(1)
     cam, proj = _pair(rng, H, W)
@@ -59,8 +60,8 @@ def test_bwd_kernel_direct_hdw_cotangent():
 
     wo, ndt = 256, 16
     h_pad = -(-H // hb) * hb
-    gp = np.zeros((h_pad, ndt, wo), np.float32)
-    gp[:H, :D + 1, :W] = np.swapaxes(g, 1, 2)
+    gp = np.zeros((ndt, h_pad, wo), np.float32)
+    gp[:D + 1, :H, :W] = np.transpose(g, (2, 0, 1))
     got = np.asarray(pallas_camera_grad_banded_hdw(
         cam, proj, jnp.asarray(gp), D, K, 1e-8, hb, 8, True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
@@ -166,9 +167,9 @@ def test_hdw_with_cost_padding_garbage():
     cam, proj = _pair(rng, H, W)
     vol = pallas_cost_volume_banded_hdw(cam, proj, D, K, 1e-8, hb, 8,
                                         True, True)
-    g = rng.standard_normal((H, D + 1, W)).astype(np.float32)
-    gp = np.zeros(vol.shape, np.float32)
-    gp[:H, :D + 1, :W] = g
+    g = rng.standard_normal((D + 1, H, W)).astype(np.float32)
+    gp = np.zeros(vol.shape, np.float32)       # [ndt, h_pad, wo]
+    gp[:D + 1, :H, :W] = g
 
     def run(cot):
         return np.asarray(pallas_camera_grad_banded_hdw_with_cost(
@@ -176,12 +177,12 @@ def test_hdw_with_cost_padding_garbage():
 
     clean = run(gp)
     want = np.asarray(zncc_camera_grad(
-        cam, proj, jnp.asarray(np.swapaxes(g, 1, 2)), D, K))
+        cam, proj, jnp.asarray(np.transpose(g, (1, 2, 0))), D, K))
     np.testing.assert_allclose(clean, want, rtol=1e-4, atol=1e-5)
 
     dirty_cot = gp.copy()
-    dirty_cot[H:, :D + 1, :] = 7.5      # padded rows
-    dirty_cot[:, :D + 1, W:] = -3.25    # padded columns
+    dirty_cot[:D + 1, H:, :] = 7.5      # padded rows
+    dirty_cot[:D + 1, :, W:] = -3.25    # padded columns
     dirty = run(dirty_cot)
     diff = np.abs(dirty - clean)
     assert diff.max() > 0.0, (
@@ -205,7 +206,8 @@ def test_fused_bwd_c_rejects_non_multiple_planes():
     rng = np.random.default_rng(19)
     cam, proj = _pair(rng, H, W)
     maps = tuple(jnp.zeros((16, 128), jnp.float32) for _ in range(7))
-    cost = jnp.zeros((24, 13, 128), jnp.float32)   # 13 % 8 != 0
+    # Plane-major residual: 13 planes (13 % 8 != 0), 24 rows.
+    cost = jnp.zeros((13, 24, 128), jnp.float32)
     with pytest.raises(ValueError, match="not a multiple"):
         _fused_train_bwd_c_impl(cam, proj, maps, cost, D, K, 1e-8, 50.0,
                                 8, True)
@@ -254,13 +256,13 @@ def test_projector_grad_kernel_matches_golden(shape):
     cam, proj = _pair(rng, H, W)
     vol = pallas_cost_volume_banded_hdw(cam, proj, D, K, 1e-8, hb, 8,
                                         True, True)
-    g = rng.standard_normal((H, D + 1, W)).astype(np.float32)
-    gp = np.zeros(vol.shape, np.float32)
-    gp[:H, :D + 1, :W] = g
+    g = rng.standard_normal((D + 1, H, W)).astype(np.float32)
+    gp = np.zeros(vol.shape, np.float32)       # [ndt, h_pad, wo]
+    gp[:D + 1, :H, :W] = g
     got = np.asarray(pallas_projector_grad_banded_hdw_with_cost(
         cam, proj, vol, jnp.asarray(gp), D, K, 1e-8, hb, 8, True))
     want = np.asarray(zncc_projector_grad(
-        cam, proj, jnp.asarray(np.swapaxes(g, 1, 2)), D, K))
+        cam, proj, jnp.asarray(np.transpose(g, (1, 2, 0))), D, K))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
