@@ -448,6 +448,19 @@ def _smoke_status() -> None:
                       f"{kind!r}")
     if age_d > 14:
         issues.append(f"stale ({age_d:.0f} days old)")
+    # A PASS must not outlive the kernel sources it tested (round 4: a
+    # Mosaic-uncompilable projector backward shipped under a PASS
+    # recorded minutes before the code kept changing).
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from hw_smoke import ops_digest
+
+        if rec.get("ops_digest") and rec["ops_digest"] != ops_digest():
+            issues.append("kernel sources (ops/) changed since the "
+                          "recorded sweep")
+    except Exception:
+        pass
     if issues:
         print(f"[bench] WARNING: hardware smoke record: "
               f"{'; '.join(issues)} — re-run scripts/hw_smoke.py",

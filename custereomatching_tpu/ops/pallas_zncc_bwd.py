@@ -665,9 +665,13 @@ def _proj_bwd_kernel(cam_hbm, proj_hbm, g_hbm, c_hbm,
             g_hbm.at[pl.ds(di * dt, dt), pl.ds(s0i, crows), :],
             g_vmem.at[sl, slice(None), pl.ds(o_g, crows), pl.ds(0, wo)],
             sems.at[2 + sl])
+        # The row offset is a multiple of 8 by construction (r0i = hi·hb
+        # with hb an 8-multiple, clamped to the 8-multiple g_rows − hb),
+        # but Mosaic cannot prove it through the clip — assert it, or
+        # the plane-major slice fails to compile at n_h > 1 shapes.
+        s0c = pl.multiple_of(jnp.clip(r0i, 0, g_rows - hb), 8)
         c_dma = pltpu.make_async_copy(
-            c_hbm.at[pl.ds(di * dt, dt),
-                     pl.ds(jnp.clip(r0i, 0, g_rows - hb), hb), :],
+            c_hbm.at[pl.ds(di * dt, dt), pl.ds(s0c, hb), :],
             c_vmem.at[sl, slice(None), slice(None), pl.ds(0, wo)],
             sems.at[4 + sl])
         return g_dma, c_dma

@@ -44,6 +44,26 @@ import numpy as np
 
 ARTIFACT = os.path.join(_ROOT, "HWSMOKE.json")
 
+
+def ops_digest(root: str = _ROOT) -> str:
+    """SHA-256 over the kernel sources the sweep certifies.
+
+    Recorded in the artifact so a PASS cannot outlive the code it
+    tested: round 4 shipped a Mosaic-uncompilable projector backward
+    under a PASS recorded 20 minutes earlier (the plane-major migration
+    kept editing ops/ after the sweep ran).  bench.py recomputes this
+    and flags a mismatch."""
+    import hashlib
+
+    h = hashlib.sha256()
+    ops_dir = os.path.join(root, "custereomatching_tpu", "ops")
+    for name in sorted(os.listdir(ops_dir)):
+        if name.endswith(".py"):
+            h.update(name.encode())
+            with open(os.path.join(ops_dir, name), "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
 SHAPES = [
     # (H, W, D, k)     — stress note
     (64, 200, 24, 15),   # baseline small
@@ -307,6 +327,7 @@ def main() -> int:
         "pass": not failed,
         "n_cases": len(records),
         "n_failed": len(failed),
+        "ops_digest": ops_digest(),
         "cases": records,
     }
     try:
