@@ -50,7 +50,8 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm, gs_hbm,
             a1_scr, b_scr, grmu_scr, sems,
             *, Hs, Ws, Ds, k, eps, beta, hb, dt, wo, woe, wcc, pw, syw,
             lp, maps_rows, n_last,
-            do_cross, do_head, do_box, do_a1, do_b, do_grmu, do_epi):
+            do_cross, do_head, do_box, do_a1, do_b, do_grmu, do_epi,
+            vreg_acc=False):
     h_idx = pl.program_id(0)
     d_idx = pl.program_id(1)
     n_d = pl.num_programs(1)
@@ -167,19 +168,59 @@ def _kernel(cam_hbm, proj_hbm, am_hbm, mask_hbm, s_hbm, t_hbm, gs_hbm,
         if do_grmu:
             grmu_scr[:, :] = grmu_scr[:, :] + gr * muy_c
 
+    def plane_v(j, acc):
+        """VREG-threaded variant: accumulators flow as values through
+        the unrolled plane loop; ONE scratch read-modify-write per
+        d-tile instead of one per plane."""
+        a1_v, b_v, g_v = acc
+        c0 = dt - 1 - j
+        pslice = psh[:, c0:c0 + wcc]
+        muy_c = syb[:, c0 + p:c0 + p + wo]
+        ey2c = ey2b[:, c0 + p:c0 + p + wo]
+        r = lax.rsqrt(ex2 * ey2c + eps)
+        if do_cross:
+            prod = band * pslice
+            sxy_c = _box_from_band(prod, k, hbe, wo, col_start=p)
+            c_t = (sxy_c - sx_raw * muy_c + eps) * r
+        else:
+            c_t = ey2c * r
+        d_f = jnp.float32(0) + (d_base + j)
+        if do_head:
+            w = jnp.where(inv_s_e > 0.0, jnp.exp(beta * c_t), 0.0) * inv_s_e
+            g_d = gs_e * w * (d_f - tos_e) + gc_e * (am_e == d_f)
+        else:
+            g_d = c_t
+        gr = g_d * r
+        if do_box:
+            gr_scr[:, p:p + wo] = gr
+            boxgr = _box_from_band(gr_scr[:, :], k, hb, wo)
+        else:
+            boxgr = gr[p:p + hb, :]
+        a1_v = a1_v + boxgr * pslice[2 * p:2 * p + hb, 2 * p:2 * p + wo]
+        b_v = b_v + (g_d * c_t * (r * r) * ey2c)
+        g_v = g_v + gr * muy_c
+        return (a1_v, b_v, g_v)
+
+    def run_tile(n):
+        if vreg_acc:
+            acc = (a1_scr[:, :], b_scr[:, :], grmu_scr[:, :])
+            for j in range(n):
+                acc = plane_v(j, acc)
+            a1_scr[:, :], b_scr[:, :], grmu_scr[:, :] = acc
+        else:
+            for j in range(n):
+                plane(j)
+
     if n_last == dt:
-        for j in range(dt):
-            plane(j)
+        run_tile(dt)
     else:
         @pl.when(d_idx != n_d - 1)
         def _full_tile():
-            for j in range(dt):
-                plane(j)
+            run_tile(dt)
 
         @pl.when(d_idx == n_d - 1)
         def _last_tile():
-            for j in range(n_last):
-                plane(j)
+            run_tile(n_last)
 
     @pl.when(d_idx == n_d - 1)
     def _epilogue():
@@ -304,6 +345,8 @@ CONFIGS = {
              "do_epi": False},
     "full_hb32": {"hb": 32},
     "full_dt16": {"dt": 16},
+    "vreg_acc": {"vreg_acc": True},
+    "vreg_dt16": {"vreg_acc": True, "dt": 16},
 }
 
 
@@ -329,7 +372,13 @@ def check():
     print(f"check full: max|Δ| {err:.3e} (rel {rel:.1e}) "
           f"{'OK' if rel < 1e-5 else 'MISMATCH'}", flush=True)
     assert np.isfinite(np.asarray(got)).all()
-    return 0 if rel < 1e-5 else 1
+    fn_v, data_v, _ = build(shape=shape, hb=8, interpret=True,
+                            vreg_acc=True)
+    err_v = float(jnp.max(jnp.abs(fn_v(*data_v)[:Hc, :Wc] - want)))
+    rel_v = err_v / (float(jnp.max(jnp.abs(want))) + 1e-30)
+    print(f"check vreg: max|Δ| {err_v:.3e} (rel {rel_v:.1e}) "
+          f"{'OK' if rel_v < 1e-5 else 'MISMATCH'}", flush=True)
+    return 0 if max(rel, rel_v) < 1e-5 else 1
 
 
 def _readback(x):
