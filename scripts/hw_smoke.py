@@ -204,6 +204,32 @@ def run_case(records, H, W, D, K):
         assert _finite(gc) and _finite(gp)
         assert float(jnp.abs(gp).max()) > 0
 
+    # Layout-conversion kernels (round 4): plane-major ↔ parity must be
+    # bit-exact vs the XLA permute, including the zero-cotangent padding.
+    def layout():
+        from custereomatching_tpu.ops.pallas_layout import (
+            parity_to_plane_major,
+            plane_major_to_parity,
+        )
+        from custereomatching_tpu.ops.pallas_zncc import (
+            pallas_cost_volume_banded_hdw,
+        )
+
+        vol = jax.jit(lambda c, p: pallas_cost_volume_banded_hdw(
+            c, p, D, K, 1e-8, 48, 8, False, True))(cam, proj)
+        got = jax.jit(lambda v: plane_major_to_parity(
+            v, H, W, D))(vol)
+        want = jnp.transpose(vol[:D + 1, :H, :W], (1, 2, 0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        ndt, h_pad, wo = vol.shape
+        g = jnp.asarray(np.random.default_rng(3).random(
+            (H, W, D + 1), dtype=np.float32))
+        got_g = jax.jit(lambda x: parity_to_plane_major(
+            x, ndt, h_pad, wo, D))(g)
+        want_g = jnp.zeros((ndt, h_pad, wo), jnp.float32)
+        want_g = want_g.at[:D + 1, :H, :W].set(jnp.transpose(g, (2, 0, 1)))
+        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))
+
     # All-pairs Pallas kernel vs the golden-pinned XLA path.
     def allpairs():
         got = jax.jit(lambda c, p: stereo_matching_pallas_allpairs(
@@ -219,6 +245,7 @@ def run_case(records, H, W, D, K):
     _check(records, "inference pipeline", shape, pipeline)
     _check(records, "trainable grads (both modes)", shape, trainable)
     _check(records, "both-gradients step", shape, both_grads)
+    _check(records, "layout kernels", shape, layout)
     _check(records, "all-pairs kernel", shape, allpairs)
 
 

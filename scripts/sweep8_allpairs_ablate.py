@@ -257,7 +257,11 @@ def _readback(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0])[0, 0, 0])
 
 
-def _time(fn, args):
+def _time(fn, args, n1=10, n2=50, repeats=5):
+    """Paired-median slope (bench.py::_time): the two chain lengths of
+    each repetition run back-to-back and the median of the per-pair
+    slopes is taken — min-of-independent-chains deflates (and under a
+    relay hiccup goes negative)."""
     for _ in range(3):
         _readback(fn(*args))
 
@@ -269,11 +273,10 @@ def _time(fn, args):
         _readback(out)
         return time.perf_counter() - t0
 
-    chain(8)
-    best = float("inf")
-    for _ in range(5):
-        best = min(best, (chain(8) - chain(2)) / 6)
-    return best
+    chain(n2)
+    slopes = sorted((chain(n2) - chain(n1)) / (n2 - n1)
+                    for _ in range(repeats))
+    return max(slopes[len(slopes) // 2], 1e-9)
 
 
 def main():
