@@ -84,7 +84,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cst_loader_open.restype = ctypes.c_void_p
     lib.cst_loader_open.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32]
+        ctypes.c_int32, ctypes.c_int32]
     lib.cst_loader_next.restype = ctypes.c_int
     lib.cst_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -94,7 +94,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cst_loader_close.restype = None
     lib.cst_loader_close.argtypes = [ctypes.c_void_p]
     lib.cst_abi_version.restype = ctypes.c_int
-    if lib.cst_abi_version() != 3:
+    if lib.cst_abi_version() != 4:
         return None
     _lib = lib
     return _lib
@@ -193,11 +193,14 @@ def pad_image_f32(img: np.ndarray, dst_h: int, dst_w: int, off_r: int,
 
 
 class FrameLoader:
-    """Prefetching PNG frame loader backed by the native worker thread.
+    """Prefetching PNG frame loader backed by a native decode pool.
 
-    Decodes ahead into a bounded ring while the device computes — the
-    host-side data path of a streaming deployment (the reference decodes
-    synchronously on the Python thread, examples/verify.py:137-142).
+    Decodes ahead on ``threads`` worker threads into a bounded in-order
+    window while the device computes — the host-side data path of a
+    streaming deployment (the reference decodes synchronously on the
+    Python thread, examples/verify.py:137-142).  Single-threaded libpng
+    decode sustains ~54 KITTI frames/s against a ~480 fps device; the
+    pool scales the host leg with cores while preserving path order.
 
     Example::
 
@@ -206,7 +209,8 @@ class FrameLoader:
                 maps = engine.infer(frame, projector)
     """
 
-    def __init__(self, paths, channel: int = 0, capacity: int = 4):
+    def __init__(self, paths, channel: int = 0, capacity: int = 16,
+                 threads: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -215,7 +219,7 @@ class FrameLoader:
         arr = (ctypes.c_char_p * len(self._paths))(
             *[p.encode() for p in self._paths])
         self._handle = lib.cst_loader_open(arr, len(self._paths),
-                                           channel, capacity)
+                                           channel, capacity, threads)
         self._consumed = 0
 
     def __iter__(self):

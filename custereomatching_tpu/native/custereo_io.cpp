@@ -317,7 +317,8 @@ void cst_pad_image_f32(const float* src, int64_t h, int64_t w, float* dst,
   }
 }
 
-int cst_abi_version() { return 3; }
+// v4: cst_loader_open gained n_threads (decode pool, in-order delivery).
+int cst_abi_version() { return 4; }
 
 }  // extern "C"
 
@@ -328,14 +329,21 @@ int cst_abi_version() { return 3; }
 // The reference loads each frame synchronously on the Python thread
 // (examples/verify.py:137-142).  At >400 frames/s of device throughput a
 // synchronous ~1-2 ms PNG decode would dominate the serving loop; this
-// loader decodes ahead on a worker thread into a bounded ring so the
-// host data path overlaps device compute.
+// loader decodes ahead on a POOL of worker threads into a bounded
+// in-order window so the host data path overlaps device compute AND
+// scales past one core's zlib-inflate rate (~54 fps at KITTI size —
+// BENCH r4 measured the single-thread decode leg as the e2e binding
+// resource).  Frames are always DELIVERED in path order: workers claim
+// path indices under the lock and park finished frames in an ordered
+// map the consumer drains at `next_out`.
 
+#include <algorithm>
 #include <condition_variable>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <string>
 #include <thread>
+#include <vector>
 
 namespace {
 
@@ -348,53 +356,71 @@ struct Frame {
 struct Loader {
   std::vector<std::string> paths;
   int channel = 0;
-  size_t capacity = 4;
-  std::deque<Frame> ring;
+  size_t capacity = 4;        // max frames in flight (claimed − consumed)
+  std::map<size_t, Frame> done;  // decoded, awaiting in-order delivery
+  size_t next_in = 0;         // next path index a worker will claim
+  size_t next_out = 0;        // next frame index the consumer delivers
   std::mutex mu;
   std::condition_variable cv_space, cv_data;
   bool closed = false;
-  bool producer_done = false;
-  std::thread worker;
+  std::vector<std::thread> workers;
 };
 
 void loader_worker(Loader* L) {
-  for (const std::string& path : L->paths) {
+  for (;;) {
+    size_t i;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_space.wait(lk, [L] {
+        return L->closed || L->next_in >= L->paths.size() ||
+               L->next_in - L->next_out < L->capacity;
+      });
+      if (L->closed || L->next_in >= L->paths.size()) return;
+      i = L->next_in++;
+    }
     Frame f;
-    f.rc = cst_decode_png_gray(path.c_str(), L->channel, nullptr, 0,
-                               &f.h, &f.w);
+    f.rc = cst_decode_png_gray(L->paths[i].c_str(), L->channel, nullptr,
+                               0, &f.h, &f.w);
     if (f.rc == 0) {
       f.data.resize(static_cast<size_t>(f.h) * f.w);
-      f.rc = cst_decode_png_gray(path.c_str(), L->channel, f.data.data(),
+      f.rc = cst_decode_png_gray(L->paths[i].c_str(), L->channel,
+                                 f.data.data(),
                                  static_cast<int64_t>(f.data.size()),
                                  &f.h, &f.w);
     }
-    std::unique_lock<std::mutex> lk(L->mu);
-    L->cv_space.wait(lk, [L] {
-      return L->ring.size() < L->capacity || L->closed;
-    });
+    std::lock_guard<std::mutex> lk(L->mu);
     if (L->closed) return;
-    L->ring.push_back(std::move(f));
+    L->done.emplace(i, std::move(f));
     L->cv_data.notify_all();
   }
-  std::lock_guard<std::mutex> lk(L->mu);
-  L->producer_done = true;
-  L->cv_data.notify_all();
 }
 
 }  // namespace
 
 extern "C" {
 
-// Open a loader over n PNG paths.  Returns an opaque handle (never
-// null); call cst_loader_close to stop the worker and free it.
+// Open a loader over n PNG paths with a decode pool of n_threads
+// (<= 0: one thread per hardware core, capped at 8).  Returns an opaque
+// handle (never null); call cst_loader_close to stop the pool and free
+// it.  Delivery order is always path order regardless of pool size.
 void* cst_loader_open(const char** paths, int32_t n, int32_t channel,
-                      int32_t capacity) {
+                      int32_t capacity, int32_t n_threads) {
   Loader* L = new Loader();
   L->paths.reserve(n > 0 ? n : 0);
   for (int32_t i = 0; i < n; ++i) L->paths.emplace_back(paths[i]);
   L->channel = channel;
-  L->capacity = capacity > 0 ? static_cast<size_t>(capacity) : 1;
-  L->worker = std::thread(loader_worker, L);
+  size_t nt = n_threads > 0
+                  ? static_cast<size_t>(n_threads)
+                  : std::min<size_t>(
+                        std::max<size_t>(
+                            std::thread::hardware_concurrency(), 1),
+                        8);
+  // The in-flight window must admit every worker or idle threads can
+  // never claim work.
+  size_t cap = capacity > 0 ? static_cast<size_t>(capacity) : 1;
+  L->capacity = std::max(cap, nt);
+  L->workers.reserve(nt);
+  for (size_t t = 0; t < nt; ++t) L->workers.emplace_back(loader_worker, L);
   return L;
 }
 
@@ -407,17 +433,22 @@ int cst_loader_next(void* handle, float* out, int64_t out_capacity,
                     int32_t* height, int32_t* width) {
   Loader* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
+  if (L->closed || L->next_out >= L->paths.size()) return 0;
+  // The frame at next_out is either decoded already or claimed by some
+  // worker (the window admits it); wait for it specifically.
   L->cv_data.wait(lk, [L] {
-    return !L->ring.empty() || L->producer_done || L->closed;
+    return L->closed || L->done.count(L->next_out) != 0;
   });
-  if (L->ring.empty()) return 0;  // end of stream (or closed)
-  Frame& f = L->ring.front();
+  if (L->closed) return 0;
+  auto it = L->done.find(L->next_out);
+  Frame& f = it->second;
   *height = f.h;
   *width = f.w;
   if (f.rc != 0) {
     int rc = f.rc;
     if (out != nullptr) {  // consume the bad frame on a read attempt
-      L->ring.pop_front();
+      L->done.erase(it);
+      ++L->next_out;
       L->cv_space.notify_all();
     }
     return rc;
@@ -425,7 +456,8 @@ int cst_loader_next(void* handle, float* out, int64_t out_capacity,
   if (out == nullptr) return 1;  // peek
   if (out_capacity < static_cast<int64_t>(f.data.size())) return -5;
   std::memcpy(out, f.data.data(), sizeof(float) * f.data.size());
-  L->ring.pop_front();
+  L->done.erase(it);
+  ++L->next_out;
   L->cv_space.notify_all();
   return 1;
 }
@@ -438,11 +470,13 @@ int cst_loader_next(void* handle, float* out, int64_t out_capacity,
 int cst_loader_skip(void* handle) {
   Loader* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
+  if (L->closed || L->next_out >= L->paths.size()) return 0;
   L->cv_data.wait(lk, [L] {
-    return !L->ring.empty() || L->producer_done || L->closed;
+    return L->closed || L->done.count(L->next_out) != 0;
   });
-  if (L->ring.empty()) return 0;
-  L->ring.pop_front();
+  if (L->closed) return 0;
+  L->done.erase(L->next_out);
+  ++L->next_out;
   L->cv_space.notify_all();
   return 1;
 }
@@ -455,7 +489,9 @@ void cst_loader_close(void* handle) {
     L->cv_space.notify_all();
     L->cv_data.notify_all();
   }
-  if (L->worker.joinable()) L->worker.join();
+  for (std::thread& t : L->workers) {
+    if (t.joinable()) t.join();
+  }
   delete L;
 }
 

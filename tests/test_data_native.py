@@ -257,3 +257,73 @@ def test_native_frame_loader_bad_frame(tmp_path):
             errors += 1
     frames.close()
     assert len(out) == 2 and errors == 1
+
+
+def test_native_frame_loader_pool_ordering(tmp_path):
+    """The multi-thread decode pool preserves path order exactly.
+
+    Each frame carries its index in pixel [0, 0]; 32 frames through a
+    4-thread pool with a tight window must come back 0..31 in order
+    (the round-4 pool parks finished frames in an ordered map keyed by
+    path index — this pins the in-order-delivery contract)."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL needed to author test frames")
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(32):
+        img = (rng.random((16, 24)) * 255).astype(np.uint8)
+        img[0, 0] = i
+        p = str(tmp_path / f"f{i:02d}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+
+    for threads, capacity in [(4, 4), (8, 2), (3, 16), (0, 4)]:
+        with native.FrameLoader(paths, capacity=capacity,
+                                threads=threads) as frames:
+            idx = [int(round(f[0, 0] * 255.0)) for f in frames]
+        assert idx == list(range(32)), (threads, capacity, idx)
+
+
+def test_native_frame_loader_pool_bad_frame(tmp_path):
+    """Error frames surface at their ordinal position under the pool."""
+    from custereomatching_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL needed to author test frames")
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(8):
+        img = (rng.random((12, 16)) * 255).astype(np.uint8)
+        img[0, 0] = i
+        p = str(tmp_path / f"g{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    with open(paths[3], "wb") as f:
+        f.write(b"corrupt")
+
+    frames = native.FrameLoader(paths, capacity=3, threads=4)
+    got, err_at = [], None
+    pos = 0
+    while True:
+        try:
+            got.append(int(round(next(frames)[0, 0] * 255.0)))
+        except StopIteration:
+            break
+        except IOError:
+            err_at = pos
+        pos += 1
+    frames.close()
+    assert err_at == 3
+    assert got == [0, 1, 2, 4, 5, 6, 7]
