@@ -330,10 +330,12 @@ def _e2e_report(model) -> None:
             _readback(out)
             best = min(best, (time.perf_counter() - t0) / len(paths))
         feed = max(best - max(t_dec, 0.0), 0.0)
+        ncpu = os.cpu_count() or 1
         print(f"[bench] e2e (disk PNG decode -> device -> maps): "
               f"{best*1e3:.2f} ms/frame ({1.0/best:.1f} fps); legs: "
-              f"native decode {t_dec*1e3:.2f} ms/frame "
-              f"({1.0/max(t_dec,1e-9):.0f} fps), device pipeline ~2.1 ms; "
+              f"native decode pool {t_dec*1e3:.2f} ms/frame "
+              f"({1.0/max(t_dec,1e-9):.0f} fps on {ncpu} host core(s) — "
+              f"the pool scales with cores), device pipeline ~2.1 ms; "
               f"residual (host feed through the debug tunnel) "
               f"~{feed*1e3:.2f} ms/frame — production PCIe hosts do not "
               f"pay this relay",
