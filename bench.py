@@ -657,9 +657,14 @@ def main() -> None:
                 rates)["bound_s"]
             b_train = b_tfwd + b_tbwd
             # Parity-layout adapter: the volume kernel + the explicitly
-            # priced minor-dims transpose (measured xla_t3d rate); its
-            # backward preps the cotangent with the same transpose class
-            # then runs the no-cost remat backward.
+            # priced minor-dims transpose (measured xla_t3d rate — the
+            # pre-round-4 runs fell back to datasheet bandwidth, ~2.6x
+            # optimistic, which is where the "62% achieved, weakest
+            # path" rows in BENCH r3/r4 came from).  The backward leg
+            # prices NO transpose: this protocol's cotangent is the
+            # constant all-ones volume, so its swapaxes+pad prep is
+            # constant-folded by XLA (zero steady-state cost) — adding
+            # it would inflate the bound past the measurement.
             from custereomatching_tpu.utils import transpose_volume_cost
 
             t3d_bytes = transpose_volume_cost(H, W, D).bytes
@@ -669,7 +674,7 @@ def main() -> None:
             b_vbwd_nc = kernel_bound(
                 volume_backward_cost(H, W, D, K, 48, 8, False),
                 rates)["bound_s"]
-            b_pfb = b_pfwd + b_t3d + b_vbwd_nc
+            b_pfb = b_pfwd + b_vbwd_nc
             # The fwd+bwd protocol also materializes the masked all-ones
             # cotangent volume (reference's backward protocol) — price
             # its HBM write so the achieved % compares like with like.

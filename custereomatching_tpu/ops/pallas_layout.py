@@ -17,6 +17,24 @@ direction writes exact zeros into every padded row/column/plane, which
 is precisely the zero-cotangent contract the direct-DMA backwards
 require (``pallas_zncc_bwd.py``) — the XLA path needed a separate
 zeros + dynamic_update_slice for that.
+
+MEASURED DECISION (round 4, ``scripts/sweep9_layout.py``, healthy
+window): the XLA permute wins.  At KITTI scale (200×384×1280 ↔
+375×1242×193) the XLA forward permute measures 2.27 ms and the best
+kernel here (``t2d1`` at (32, 640)) 2.89 ms — the permute is
+relayout-bound and XLA's lowering is already at that limit; the
+kernels' serial DMA-in and in-VMEM shuffle passes cannot beat it.  The
+parity→plane-major direction additionally CANNOT COMPILE on Mosaic for
+any real D: its input DMA slices the cotangent's minor axis at extent
+``D+1``, and Mosaic requires DMA lane-dim slices to be 128-aligned
+("Slice shape along dimension 2 must be aligned to tiling (128)").
+The adapter therefore keeps the XLA permute (priced with the measured
+``xla_t3d`` rate); these kernels stay as the measured alternative and
+as regression probes.  ``parity_to_plane_major`` raises on the
+compiled path when ``(D+1) % 128 != 0`` so the Mosaic rejection
+surfaces at trace time instead of as an opaque compile failure (the
+interpret path still runs for tests, mirroring the k=1 rejection in
+``pallas_zncc.py``).
 """
 
 from __future__ import annotations
@@ -42,6 +60,17 @@ def _to_parity_kernel(vol_hbm, out_ref, buf, sems, *, D, hb2, wc, ndt,
     ``jnp.transpose`` lowers element-wise and blows the Mosaic VMEM
     stack — 108 MB scoped for a 3.3 MB block):
 
+    * ``"dot"``: ONE batched identity contraction per block —
+      ``dot_general(buf[ndt, hb2, wc], I[ndt, ndt])`` contracting the
+      plane axes is exactly the ``(1, 2, 0)`` permute (·1.0 + Σ·0.0 at
+      HIGHEST precision reconstructs each fp32 bit-exactly), and as a
+      single ``M=hb2·wc, K=N=ndt`` matmul it keeps the MXU busy where
+      the per-row variants issue ``hb2`` skinny dots.
+    * ``"t2d1"``: ONE flat 2D transpose per block —
+      ``[ndt, hb2·wc] → [hb2·wc, ndt]`` IS the ``(1, 2, 0)`` permute
+      after reshapes, and both reshapes are layout no-ops (``wc`` is a
+      128-multiple, so regrouping the sublane axis keeps (8, 128) tile
+      boundaries).  No MXU involvement.
     * ``"mxu"``: per output row x, transpose the ``[ndt, wc]`` slab with
       one identity contraction on the MXU (exact: ·1.0 + Σ·0.0 passes).
     * ``"t2d"``: per output row x, a 2D ``jnp.transpose``.
@@ -54,7 +83,18 @@ def _to_parity_kernel(vol_hbm, out_ref, buf, sems, *, D, hb2, wc, ndt,
         vol_hbm.at[:, pl.ds(r0, hb2), pl.ds(c0, wc)], buf, sems.at[0])
     dma.start()
     dma.wait()
-    if method == "mxu":
+    if method == "dot":
+        eye = jnp.eye(ndt, dtype=jnp.float32)
+        tdims = (((0,), (0,)), ((), ()))
+        t = lax.dot_general(buf[:, :, :], eye, tdims,
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        out_ref[:, :, :] = t[:, :, :D + 1]
+    elif method == "t2d1":
+        flat = jnp.reshape(buf[:, :, :], (ndt, hb2 * wc))
+        t = jnp.reshape(jnp.transpose(flat), (hb2, wc, ndt))
+        out_ref[:, :, :] = t[:, :, :D + 1]
+    elif method == "mxu":
         eye = jnp.eye(ndt, dtype=jnp.float32)
         tdims = (((0,), (0,)), ((), ()))
         for x in range(hb2):
@@ -125,10 +165,13 @@ def _to_plane_major_kernel(g_hbm, out_ref, buf, sems,
     ``[ndt, hb2, wc]`` out block with exact zeros in every padded
     row/column/plane (the zero-cotangent contract).
 
-    ``method``: ``"mxu"`` transposes each untiled-x ``[wc, D+1]`` slab
-    with an exact identity contraction; ``"naive"`` is the 3D
-    ``jnp.transpose`` (interpret-mode reference — its Mosaic lowering
-    blows the VMEM stack at production shapes)."""
+    ``method``: ``"dot"`` is ONE batched identity contraction per block
+    (``dot_general(I[D+1, D+1], buf, contract I.1 x buf.2)`` → the
+    ``(2, 0, 1)`` permute, bit-exact at HIGHEST precision); ``"mxu"``
+    transposes each untiled-x ``[wc, D+1]`` slab with an exact identity
+    contraction; ``"naive"`` is the 3D ``jnp.transpose`` (interpret-mode
+    reference — its Mosaic lowering blows the VMEM stack at production
+    shapes)."""
     h_idx = pl.program_id(0)
     w_idx = pl.program_id(1)
     r0 = h_idx * hb2
@@ -141,6 +184,32 @@ def _to_plane_major_kernel(g_hbm, out_ref, buf, sems,
         g_hbm.at[pl.ds(r0, hb2), pl.ds(c0, wc), :], buf, sems.at[0])
     dma.start()
     dma.wait()
+    if method == "dot":
+        eye = jnp.eye(D + 1, dtype=jnp.float32)
+        tdims = (((1,), (2,)), ((), ()))
+        # [D+1, hb2, wc]: lhs free dim then rhs free dims.
+        t = lax.dot_general(eye, buf[:, :, :], tdims,
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        ri = lax.broadcasted_iota(jnp.int32, (D + 1, hb2, wc), 1) + r0
+        ci = lax.broadcasted_iota(jnp.int32, (D + 1, hb2, wc), 2) + c0
+        out_ref[0:D + 1] = jnp.where((ri < H) & (ci < W), t, 0.0)
+        if ndt > D + 1:
+            out_ref[D + 1:ndt] = jnp.zeros((ndt - D - 1, hb2, wc),
+                                           buf.dtype)
+        return
+    if method == "t2d1":
+        # [hb2·wc, D+1] → [D+1, hb2·wc] is the (2, 0, 1) permute after
+        # layout-no-op reshapes (wc is a 128-multiple).
+        flat = jnp.reshape(buf[:, :, :], (hb2 * wc, D + 1))
+        t = jnp.reshape(jnp.transpose(flat), (D + 1, hb2, wc))
+        ri = lax.broadcasted_iota(jnp.int32, (D + 1, hb2, wc), 1) + r0
+        ci = lax.broadcasted_iota(jnp.int32, (D + 1, hb2, wc), 2) + c0
+        out_ref[0:D + 1] = jnp.where((ri < H) & (ci < W), t, 0.0)
+        if ndt > D + 1:
+            out_ref[D + 1:ndt] = jnp.zeros((ndt - D - 1, hb2, wc),
+                                           buf.dtype)
+        return
     if method == "mxu":
         eye = jnp.eye(wc, dtype=jnp.float32)
         tdims = (((0,), (0,)), ((), ()))
@@ -178,9 +247,22 @@ def parity_to_plane_major(
 ) -> jax.Array:
     """Reference-parity ``[H, W, D+1]`` cotangent → plane-major padded
     ``[n_planes, h_pad, wo]`` with exact zeros in the padding (the
-    zero-cotangent contract of the direct-DMA backwards)."""
+    zero-cotangent contract of the direct-DMA backwards).
+
+    Compiled path requires ``(D+1) % 128 == 0``: the input DMA slices
+    the cotangent's minor axis at extent ``D+1`` and Mosaic rejects
+    lane-dim slices that are not 128-aligned — raised here at trace
+    time so the constraint fails loudly (the production adapter uses
+    the XLA permute, which sweep9 measured faster anyway)."""
     H, W, _ = g.shape
     D = int(num_disparities)
+    if not interpret and (D + 1) % 128:
+        raise ValueError(
+            f"parity_to_plane_major cannot compile on Mosaic with "
+            f"D+1={D + 1} (input DMA lane-dim slices must be "
+            f"128-aligned); use the XLA permute path "
+            f"(zeros + dynamic_update_slice + transpose), which "
+            f"sweep9_layout.py measured faster at every shape tried.")
     hb2 = _round_up(int(block_rows), 8)
     while hb2 > 8 and -(-H // hb2) * hb2 > h_pad:
         hb2 -= 8

@@ -224,11 +224,26 @@ def run_case(records, H, W, D, K):
         ndt, h_pad, wo = vol.shape
         g = jnp.asarray(np.random.default_rng(3).random(
             (H, W, D + 1), dtype=np.float32))
-        got_g = jax.jit(lambda x: parity_to_plane_major(
-            x, ndt, h_pad, wo, D))(g)
-        want_g = jnp.zeros((ndt, h_pad, wo), jnp.float32)
-        want_g = want_g.at[:D + 1, :H, :W].set(jnp.transpose(g, (2, 0, 1)))
-        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))
+        if (D + 1) % 128:
+            # Mosaic cannot DMA lane-dim slices of extent D+1 unless
+            # 128-aligned; the op must reject loudly at trace time
+            # instead of dying in the compiler (sweep9_layout.py).
+            try:
+                parity_to_plane_major(g, ndt, h_pad, wo, D)
+            except ValueError:
+                pass
+            else:
+                raise AssertionError(
+                    "parity_to_plane_major accepted unaligned D+1 on "
+                    "the compiled path")
+        else:
+            got_g = jax.jit(lambda x: parity_to_plane_major(
+                x, ndt, h_pad, wo, D))(g)
+            want_g = jnp.zeros((ndt, h_pad, wo), jnp.float32)
+            want_g = want_g.at[:D + 1, :H, :W].set(
+                jnp.transpose(g, (2, 0, 1)))
+            np.testing.assert_array_equal(np.asarray(got_g),
+                                          np.asarray(want_g))
 
     # All-pairs Pallas kernel vs the golden-pinned XLA path.
     def allpairs():

@@ -25,7 +25,7 @@ SHAPES = [
     (24, 96, 384, 96, 384, 20),     # exact multiples (no overhang)
 ]
 
-METHODS = ["mxu", "t2d", "naive"]
+METHODS = ["mxu", "t2d", "t2d1", "dot", "naive"]
 
 
 @pytest.mark.parametrize("shape", SHAPES)
@@ -41,7 +41,7 @@ def test_plane_major_to_parity(shape, method):
 
 
 @pytest.mark.parametrize("shape", SHAPES)
-@pytest.mark.parametrize("method", ["mxu", "naive"])
+@pytest.mark.parametrize("method", ["mxu", "t2d1", "dot", "naive"])
 def test_parity_to_plane_major(shape, method):
     ndt, h_pad, wo, H, W, D = shape
     rng = np.random.default_rng(ndt + W)
@@ -53,6 +53,16 @@ def test_parity_to_plane_major(shape, method):
     assert got.shape == (ndt, h_pad, wo)
     # Bit-exact INCLUDING the zero padding (the zero-cotangent contract).
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unaligned_lanes_rejected_on_compiled_path():
+    """parity→plane-major must reject (D+1) % 128 != 0 at trace time:
+    Mosaic cannot DMA lane-dim slices that are not 128-aligned, and the
+    interpret path accepting what Mosaic rejects is the exact blind
+    spot that shipped broken kernels in round 3 (sweep9_layout.py)."""
+    g = jnp.zeros((16, 64, 8), jnp.float32)
+    with pytest.raises(ValueError, match="128-aligned"):
+        parity_to_plane_major(g, 8, 16, 128, 7, 16, 256, False, "mxu")
 
 
 def test_block_shape_knobs():
