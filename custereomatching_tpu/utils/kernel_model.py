@@ -42,6 +42,12 @@ _CACHE_PATH = os.path.join(
 
 _OP_MODES = ("madd", "lshift", "sshift", "exp", "rsqrt", "boxadd",
              "mxuhi")
+# "mxubmm" exists as a measurable mode (see _rate_kernel) but is NOT a
+# pricing class: it was built to test whether the all-pairs kernel's 80%
+# achievement is explained by both-operands-streaming dots being slower
+# than mxuhi's value-chained repeat — measured, the streaming pattern is
+# FASTER (0.86x mxuhi), so the hypothesis is refuted and pricing with it
+# would only tighten the bound (sweep8, BASELINE.md).
 # Measured DMA rates (seconds per byte) for the kernels' two bulk HBM
 # access patterns: 3D tile reads ([rows, dt, W] slices of a volume, the
 # backward's cotangent/cost stream) and 3D tile writes (the forward's
@@ -116,6 +122,24 @@ def _rate_kernel(out_ref, acc, wide, *, mode: str, inner: int, rows: int,
                 b, b, (((0,), (0,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) * (1.0 / 256.0)
+        elif mode == "mxubmm":
+            # Like mxuhi but BOTH operands are fresh VMEM reads per dot
+            # (different offsets each iteration) and the dots are
+            # independent rather than value-chained: the batched-matmul
+            # pattern of the all-pairs kernel.  Built to test whether
+            # operand streaming explains that kernel's 80% achievement;
+            # measured on the v5e it is FASTER than mxuhi (0.86x — the
+            # independent dots pipeline better than the value chain), so
+            # the hypothesis is refuted and this mode is diagnostic
+            # only, not a pricing class (sweep8, BASELINE.md).
+            ro = (i * 8) % 24
+            co = (i * 128) % 256
+            b = wide[ro:ro + 256, 0:cols]
+            c = wide[0:256, co:co + cols]
+            a = a * 1e-6 + lax.dot_general(
+                b, c, (((0,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
     acc[:, :] = a
 
     @pl.when(g == pl.num_programs(0) - 1)
@@ -159,7 +183,7 @@ def _run_rate(mode: str, *, rows: int = 32, cols: int = 1280,
 
     if mode == "boxadd":
         inner, grid = 6, 768
-    elif mode == "mxuhi":
+    elif mode in ("mxuhi", "mxubmm"):
         rows = cols = 512
         inner, grid = 4, 64
     fn = _rate_call(mode, inner, rows, cols, grid, ilp, interpret)
@@ -185,7 +209,7 @@ def _run_rate(mode: str, *, rows: int = 32, cols: int = 1280,
         # (same counting the cost models use), plus the madd combine.
         per_box = _box_tree_elems(15, rows + 14, rows, cols + 128, cols)
         elems = grid * inner * (per_box + rows * cols)
-    elif mode == "mxuhi":
+    elif mode in ("mxuhi", "mxubmm"):
         elems = grid * inner * 2 * cols * cols * 256   # nominal f32 flops
     else:
         elems = grid * inner * rows * cols
@@ -953,7 +977,12 @@ def allpairs_forward_cost(H: int, W: int, k: int, hr: int = 8) -> OpCount:
 
     per_row = OpCount()
     # Main contraction: nominal flops at the MXU's 256-padded depth
-    # (the measured mxuhi rate is normalized the same way).
+    # (the measured mxuhi rate is normalized the same way).  sweep8's
+    # stage ablation attributes the kernel's ~80% achievement entirely
+    # to this leg (stats/rolls/stacks/norm all hide at <= 0.05 ms);
+    # the streaming-operands hypothesis was measured and REFUTED
+    # (mxubmm mode, 0.86x mxuhi), so the residual is in-kernel VMEM
+    # traffic sharing with the dot pipeline, documented in BASELINE.md.
     per_row = per_row + OpCount(mxuhi=2 * wo * wo * _round_up(k2p, 256))
     # im2col staging: 2·k copies of [k, wo] at sublane offsets.
     per_row = per_row + OpCount(sshift=2 * k2 * wo)

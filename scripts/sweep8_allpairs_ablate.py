@@ -129,7 +129,9 @@ def _kernel(cam_hbm, proj_hbm, out_ref,
                                 tdims, precision=prec,
                                 preferred_element_type=jnp.float32)
         else:
-            a = bc_all[t, 0:wo, pl.ds(y0, yt)]
+            # [wo, yt] stand-in with no MXU work (bc_all's mid dim is
+            # k·kb < wo, so a direct slice would be shape-wrong).
+            a = sxc_scr[:, t:t + 1] + sy_scr[t:t + 1, pl.ds(y0, yt)]
         if do_norm:
             sx_c = sxc_scr[:, t:t + 1]
             ex2_c = ex2c_scr[:, t:t + 1]
@@ -253,8 +255,10 @@ def check():
 
 
 def _readback(x):
-    import numpy as np
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0])[0, 0, 0])
+    # Scalar fence: slice ON DEVICE, fetch one element.  np.asarray here
+    # would pull the whole 235 MB volume through the tunnel (~seconds),
+    # and that transfer's noise swamps the ~10 ms slope being measured.
+    return float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
 
 
 def _time(fn, args, n1=10, n2=50, repeats=5):
@@ -295,7 +299,11 @@ def main():
         cfg = CONFIGS[name]
         try:
             fn, data, _ = build(**cfg)
-            t = _time(fn, data)
+            # Short chains (bench.py uses the same for all-pairs): a
+            # [330, 422, 422] output is 235 MB, so 50 in-flight results
+            # would stack ~12 GB of HBM and the slope would measure
+            # allocator thrash (measured: 87 ms/call), not the kernel.
+            t = _time(fn, data, n1=4, n2=16)
             results[name] = t
             delta = ""
             if "full" in results and name != "full":
