@@ -43,7 +43,8 @@ def _kernel(cam_hbm, proj_hbm, out_ref,
             cam_band, proj_band, crolled, prolled, bc_all, bp_all,
             sxc_scr, ex2c_scr, sy_scr, ey2_scr, sems,
             *, H, W, k, eps, prec, hr, rb, wi, wo, yt,
-            do_stats, do_rolls, do_stacks, do_mm, do_norm, batched_mm):
+            do_stats, do_rolls, do_stacks, do_mm, do_norm, batched_mm,
+            sw_pipe=False):
     h_idx = pl.program_id(0)
     y_idx = pl.program_id(1)
     p = k // 2
@@ -123,15 +124,16 @@ def _kernel(cam_hbm, proj_hbm, out_ref,
             else:
                 out_ref[t] = a[0:W, :]
         return
-    for t in range(hr):
+    def _dot(t):
         if do_mm:
-            a = lax.dot_general(bc_all[t], bp_all[t, :, pl.ds(y0, yt)],
-                                tdims, precision=prec,
-                                preferred_element_type=jnp.float32)
-        else:
-            # [wo, yt] stand-in with no MXU work (bc_all's mid dim is
-            # k·kb < wo, so a direct slice would be shape-wrong).
-            a = sxc_scr[:, t:t + 1] + sy_scr[t:t + 1, pl.ds(y0, yt)]
+            return lax.dot_general(bc_all[t], bp_all[t, :, pl.ds(y0, yt)],
+                                   tdims, precision=prec,
+                                   preferred_element_type=jnp.float32)
+        # [wo, yt] stand-in with no MXU work (bc_all's mid dim is
+        # k·kb < wo, so a direct slice would be shape-wrong).
+        return sxc_scr[:, t:t + 1] + sy_scr[t:t + 1, pl.ds(y0, yt)]
+
+    def _emit(t, a):
         if do_norm:
             sx_c = sxc_scr[:, t:t + 1]
             ex2_c = ex2c_scr[:, t:t + 1]
@@ -142,6 +144,20 @@ def _kernel(cam_hbm, proj_hbm, out_ref,
             out_ref[t] = ((exy + eps) * deno)[0:W, :]
         else:
             out_ref[t] = a[0:W, :]
+
+    if sw_pipe:
+        # Software-pipeline the row loop: issue dot t+1 before row t's
+        # normalize+store consumes its result, so the VPU epilogue never
+        # drains the MXU pipeline between dots.
+        a_cur = _dot(0)
+        for t in range(1, hr):
+            a_next = _dot(t)
+            _emit(t - 1, a_cur)
+            a_cur = a_next
+        _emit(hr - 1, a_cur)
+    else:
+        for t in range(hr):
+            _emit(t, _dot(t))
 
 
 def build(shape=(330, 422, 15), hr=8, interpret=False, precision="highest",
@@ -229,6 +245,8 @@ CONFIGS = {
     "full_yt128": {"y_tile": 128},
     "full_yt256": {"y_tile": 256},
     "full_default": {"precision": "default"},
+    "full_swpipe": {"sw_pipe": True},
+    "swpipe_hr16": {"sw_pipe": True, "hr": 16},
 }
 
 
