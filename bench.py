@@ -660,22 +660,21 @@ def main() -> None:
             # priced minor-dims transpose (measured xla_t3d rate — the
             # pre-round-4 runs fell back to datasheet bandwidth, ~2.6x
             # optimistic, which is where the "62% achieved, weakest
-            # path" rows in BENCH r3/r4 came from).  The backward leg
-            # prices NO transpose: this protocol's cotangent is the
-            # constant all-ones volume, so its swapaxes+pad prep is
-            # constant-folded by XLA (zero steady-state cost) — adding
-            # it would inflate the bound past the measurement.
+            # path" rows in BENCH r3/r4 came from).  The backward runs
+            # the with-cost direct kernel on the forward's saved padded
+            # volume (since round 4's residual-strategy switch — 7.51 vs
+            # 9.12 ms measured); its cotangent leg prices only the
+            # plane-major all-ones build (one padded-volume HBM write:
+            # the transpose itself is a fold of the constant), NOT a
+            # full volume transpose — this protocol's cotangent is the
+            # constant all-ones volume.
             from custereomatching_tpu.utils import transpose_volume_cost
 
             t3d_bytes = transpose_volume_cost(H, W, D).bytes
             r_t3d = rates.get("xla_t3d", 1.0 / _device_bandwidth())
             b_t3d = t3d_bytes * r_t3d
             b_pfwd = b_vfwd + b_t3d
-            b_vbwd_nc = kernel_bound(
-                volume_backward_cost(H, W, D, K, 48, 8, False),
-                rates)["bound_s"]
-            b_pfb = b_pfwd + b_vbwd_nc
-            # The fwd+bwd protocol also materializes the masked all-ones
+            # The fwd+bwd protocols also materialize the masked all-ones
             # cotangent volume (reference's backward protocol) — price
             # its HBM write so the achieved % compares like with like.
             from custereomatching_tpu.ops.pallas_zncc import _round_up
@@ -684,6 +683,7 @@ def main() -> None:
             ones_w = (_round_up(H, 48) * n_pl
                       * _round_up(max(W, 128), 128) * 4)
             b_ones = ones_w * rates.get("hbm_w3d", 0.0)
+            b_pfb = b_pfwd + b_vbwd + b_ones
             b_vfb = b_vfwd + b_vbwd + b_ones
             print(
                 "[bench] calibrated rooflines (microbenchmarked op rates, "

@@ -456,21 +456,37 @@ def _pallas_stereo(camera, projector, num_disparities, kernel_size,
 
 def _pallas_stereo_fwd(camera, projector, num_disparities, kernel_size,
                        epsilon, interpret):
-    cost = _pallas_stereo(camera, projector, num_disparities, kernel_size,
-                          epsilon, interpret)
-    # Remat residuals: only the input images, like the reference's
-    # ctx.save_for_backward (custma/stereo_matching_wrapper.py:16).
-    return cost, (camera, projector)
+    # Produce the padded plane-major volume once; the parity layout is
+    # its (explicitly priced) transpose adapter, and the padded volume
+    # doubles as the backward's cost residual (n·r = c kills the
+    # per-plane cross-term recompute).  Deliberate departure from the
+    # reference's inputs-only remat (custma/stereo_matching_wrapper.py:16)
+    # — measured on the v5e at KITTI shape: 7.51 ms fwd+bwd vs 9.12 for
+    # the inputs-only rows-major staging and 9.70 for an inputs-only
+    # plane-major recompute (the cost residual, not the cotangent
+    # layout, is what pays here; see docs/PARITY.md).
+    vol = pallas_cost_volume_banded_hdw(
+        camera, projector, num_disparities, kernel_size, epsilon,
+        48, 8, interpret, True)
+    H, W = camera.shape
+    cost = jnp.transpose(vol[:num_disparities + 1, :H, :W], (1, 2, 0))
+    return cost, (camera, projector, vol)
 
 
 def _pallas_stereo_bwd(num_disparities, kernel_size, epsilon, interpret,
                        residuals, g):
     from custereomatching_tpu.ops.pallas_zncc_bwd import (
-        pallas_camera_grad_banded)
-    camera, projector = residuals
-    cam_grad = pallas_camera_grad_banded(
-        camera, projector, g, num_disparities, kernel_size, epsilon,
-        48, 8, interpret)
+        pallas_camera_grad_banded_hdw_with_cost)
+    camera, projector, vol = residuals
+    # Parity cotangent → the kernel's own padded plane-major layout.
+    # Padding entries are written as zeros, satisfying the direct-DMA
+    # backward's zero-cotangent contract.
+    g_vol = jnp.zeros(vol.shape, vol.dtype)
+    g_vol = lax.dynamic_update_slice(g_vol, jnp.transpose(g, (2, 0, 1)),
+                                     (0, 0, 0))
+    cam_grad = pallas_camera_grad_banded_hdw_with_cost(
+        camera, projector, vol, g_vol, num_disparities, kernel_size,
+        epsilon, 48, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -648,13 +664,15 @@ def stereo_matching_pallas(
     """Differentiable banded ZNCC cost volume with the Pallas forward.
 
     Drop-in for :func:`..zncc.stereo_matching` in banded mode: same
-    ``[H, W, D+1]`` output, same analytic camera gradient (the backward
-    runs the closed-form XLA VJP; by default the projector gradient is a
-    symbolic zero, matching the reference's None,
+    ``[H, W, D+1]`` output, same analytic camera gradient (closed-form
+    Pallas backward fed by the forward's padded volume as a cost
+    residual; by default the projector gradient is a symbolic zero,
+    matching the reference's None,
     custma/stereo_matching_wrapper.py:33).  ``grad_projector=True``
     enables the Pallas projector backward (both gradients on the kernel
-    path; the parity-layout cotangent pays one explicit transpose
-    adapter into the padded-HDW layout the kernels consume).
+    path).  Either way the parity-layout cotangent pays one explicit
+    transpose adapter into the padded plane-major layout the kernels
+    consume.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter — the
     CPU-testing path (survey §5.2: the TPU analogue of a sanitizer build).

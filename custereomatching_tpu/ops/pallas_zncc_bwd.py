@@ -480,6 +480,15 @@ def pallas_camera_grad_banded(
       ``[H, W]`` gradient w.r.t. the camera image.  The projector
       gradient is intentionally not produced (reference parity:
       custma/stereo_matching_wrapper.py:33 returns None).
+
+    Layout note: this standalone entry (no forward volume available)
+    stages the cotangent rows-major and runs the recompute-mode kernel.
+    Re-staging plane-major for the direct-DMA kernel was measured
+    SLOWER here (9.70 vs 9.12 ms fwd+bwd at KITTI shape on the v5e):
+    without the cost residual the plane loop is recompute-bound, not
+    cotangent-read-bound.  The differentiable op
+    (:func:`..pallas_zncc.stereo_matching_pallas`) instead saves the
+    padded volume and takes the with-cost direct path (7.51 ms).
     """
     H, W = camera.shape
     D = int(num_disparities)
