@@ -491,11 +491,16 @@ def main() -> None:
     fwd = jax.jit(model.cost_volume_single)
 
     def fwd_bwd(cam, proj):
-        # All-ones cotangent, the reference's backward protocol
-        # (examples/verify.py:67-68).
-        def loss(c):
-            return jnp.sum(model.cost_volume_single(c, proj))
-        return jax.grad(loss)(cam)
+        # The reference's protocol: the [H, W, D+1] cost volume is a
+        # REAL output (verify.py reads it), then backward with an
+        # all-ones cotangent (examples/verify.py:64-68).  Returning the
+        # cost alongside the gradient matters: a grad-of-sum protocol
+        # lets XLA elide the adapter's forward permute entirely
+        # (sum∘transpose = sum — sweep10 measured 6.3 vs 8.4 ms, which
+        # is how BENCH r4 printed a nonsense 112% achieved).
+        cost, pullback = jax.vjp(
+            lambda c: model.cost_volume_single(c, proj), cam)
+        return cost, pullback(jnp.ones_like(cost))[0]
 
     fwd_bwd = jax.jit(fwd_bwd)
 
@@ -652,8 +657,11 @@ def main() -> None:
                                   rates)["bound_s"]
             b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
                                   rates)["bound_s"]
+            # hb=96 since round 5: the camera with-cost backward measured
+            # 2.55 vs 2.72 ms at hb=48 (sweep12, interleaved same-window,
+            # reproduced twice) and sits AT its recomputed bound.
             b_vbwd = kernel_bound(
-                volume_backward_cost(H, W, D, K, 48, 8, True),
+                volume_backward_cost(H, W, D, K, 96, 8, True),
                 rates)["bound_s"]
             b_train = b_tfwd + b_tbwd
             # Parity-layout adapter: the volume kernel + the explicitly
@@ -663,27 +671,34 @@ def main() -> None:
             # path" rows in BENCH r3/r4 came from).  The backward runs
             # the with-cost direct kernel on the forward's saved padded
             # volume (since round 4's residual-strategy switch — 7.51 vs
-            # 9.12 ms measured); its cotangent leg prices only the
-            # plane-major all-ones build (one padded-volume HBM write:
-            # the transpose itself is a fold of the constant), NOT a
-            # full volume transpose — this protocol's cotangent is the
-            # constant all-ones volume.
+            # 9.12 ms measured); its cotangent leg prices the restage of
+            # the parity-layout cotangent into the padded plane-major
+            # kernel layout (zeros + DUS of the transpose) at the
+            # measured ``xla_dus3d`` rate — sweep10 measured ~1.0 ms,
+            # neither free (BENCH r4 priced only a streaming ones-write,
+            # 0.34 ms) nor a full xla_t3d relayout (2.3 ms).
             from custereomatching_tpu.utils import transpose_volume_cost
 
             t3d_bytes = transpose_volume_cost(H, W, D).bytes
             r_t3d = rates.get("xla_t3d", 1.0 / _device_bandwidth())
             b_t3d = t3d_bytes * r_t3d
             b_pfwd = b_vfwd + b_t3d
-            # The fwd+bwd protocols also materialize the masked all-ones
-            # cotangent volume (reference's backward protocol) — price
-            # its HBM write so the achieved % compares like with like.
             from custereomatching_tpu.ops.pallas_zncc import _round_up
 
             n_pl = -(-(D + 1) // 8) * 8
-            ones_w = (_round_up(H, 48) * n_pl
-                      * _round_up(max(W, 128), 128) * 4)
-            b_ones = ones_w * rates.get("hbm_w3d", 0.0)
-            b_pfb = b_pfwd + b_vbwd + b_ones
+            pad_vol_w = (_round_up(H, 48) * n_pl
+                         * _round_up(max(W, 128), 128) * 4)
+            # Write-only bytes: this protocol's cotangent is all-ones,
+            # whose transpose XLA folds to a broadcast — the restage
+            # reads no volume.  A REAL cotangent adds the read leg
+            # (sweep10: rand_ct − faithful = 0.83 ms ≈ the 0.36 GB read
+            # at this rate), priced in BASELINE.md's adapter table.
+            b_dus = pad_vol_w * rates.get("xla_dus3d", r_t3d)
+            b_pfb = b_pfwd + b_vbwd + b_dus
+            # The HDW-volume fwd+bwd protocol materializes the masked
+            # all-ones cotangent volume directly in the kernel layout —
+            # price its HBM write so achieved % compares like with like.
+            b_ones = pad_vol_w * rates.get("hbm_w3d", 0.0)
             b_vfb = b_vfwd + b_vbwd + b_ones
             print(
                 "[bench] calibrated rooflines (microbenchmarked op rates, "
@@ -700,7 +715,8 @@ def main() -> None:
                 f"{b_vfb/t_fwdbwd_h*100:.1f}%; "
                 f"parity adapter fwd bound {b_pfwd*1e3:.2f} ms "
                 f"(transpose {b_t3d*1e3:.2f}) -> {b_pfwd/t_fwd*100:.1f}%; "
-                f"parity fwd+bwd bound {b_pfb*1e3:.2f} ms -> "
+                f"parity fwd+bwd bound {b_pfb*1e3:.2f} ms "
+                f"(incl. cotangent restage {b_dus*1e3:.2f}) -> "
                 f"{b_pfb/t_fwdbwd*100:.1f}%",
                 file=sys.stderr,
             )

@@ -486,7 +486,7 @@ def _pallas_stereo_bwd(num_disparities, kernel_size, epsilon, interpret,
                                      (0, 0, 0))
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, vol, g_vol, num_disparities, kernel_size,
-        epsilon, 48, 8, interpret)
+        epsilon, 96, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -521,7 +521,7 @@ def _pallas_stereo_hdw_bwd(num_disparities, kernel_size, epsilon, interpret,
     camera, projector, cost = residuals
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
-        48, 8, interpret)
+        96, 8, interpret)
     return cam_grad, jnp.zeros_like(projector)
 
 
@@ -555,7 +555,7 @@ def _pallas_stereo_hdw_both_bwd(num_disparities, kernel_size, epsilon,
     camera, projector, cost = residuals
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
-        48, 8, interpret)
+        96, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
         camera, projector, cost, g, num_disparities, kernel_size, epsilon,
         48, 8, interpret)
@@ -599,7 +599,7 @@ def _pallas_stereo_both_bwd(num_disparities, kernel_size, epsilon, interpret,
                                      (0, 0, 0))
     cam_grad = pallas_camera_grad_banded_hdw_with_cost(
         camera, projector, vol, g_vol, num_disparities, kernel_size,
-        epsilon, 48, 8, interpret)
+        epsilon, 96, 8, interpret)
     proj_grad = pallas_projector_grad_banded_hdw_with_cost(
         camera, projector, vol, g_vol, num_disparities, kernel_size,
         epsilon, 48, 8, interpret)

@@ -59,8 +59,17 @@ _DMA_MODES = ("hbm_r3d", "hbm_w3d")
 # byte (read+write counted) of the parity adapter's slice+transpose of
 # a plane-major volume to [H, W, D+1] — a minor-dims relayout, several
 # times slower than a streaming copy, which datasheet bandwidth would
-# badly understate.
-_XLA_MODES = ("xla_t3d",)
+# badly understate.  ``xla_dus3d`` is the adapter BACKWARD's cotangent
+# restage (zeros + dynamic_update_slice of the (2, 0, 1) transpose into
+# the padded plane-major layout — ops/pallas_zncc.py::_pallas_stereo_bwd),
+# measured over read+write bytes (~3.1 ps/B on this v5e, reproducible
+# where one-shot in-context measurements of the same op are bimodal);
+# it is 2.3x FASTER than a jnp.pad of the same transpose — XLA fuses
+# the transpose into the DUS write (sweep10).  Pricing note: a protocol
+# whose cotangent transpose constant-folds (the verify all-ones)
+# charges only the WRITE bytes at this rate (bench.py), which
+# reproduces the measured in-context delta (1.20 ms at KITTI scale).
+_XLA_MODES = ("xla_t3d", "xla_dus3d")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -338,12 +347,24 @@ def _run_xla_rate(mode: str) -> float:
     """Measured seconds-per-byte of an XLA volume op (KITTI-scale)."""
     import time
 
-    if mode != "xla_t3d":
-        raise ValueError(mode)
     P, Hh, Ww = 200, 384, 1280
     D1, H1, W1 = 193, 375, 1242
-    src = jnp.ones((P, Hh, Ww), jnp.float32)
-    fn = jax.jit(lambda v: jnp.transpose(v[:D1, :H1, :W1], (1, 2, 0)))
+    if mode == "xla_t3d":
+        src = jnp.ones((P, Hh, Ww), jnp.float32)
+        fn = jax.jit(lambda v: jnp.transpose(v[:D1, :H1, :W1], (1, 2, 0)))
+        total_bytes = 2 * D1 * H1 * W1 * 4    # read + write
+    elif mode == "xla_dus3d":
+        src = jnp.ones((H1, W1, D1), jnp.float32)
+
+        def _restage(g):
+            z = jnp.zeros((P, Hh, Ww), jnp.float32)
+            return lax.dynamic_update_slice(
+                z, jnp.transpose(g, (2, 0, 1)), (0, 0, 0))
+
+        fn = jax.jit(_restage)
+        total_bytes = (D1 * H1 * W1 + P * Hh * Ww) * 4    # read + write
+    else:
+        raise ValueError(mode)
 
     def _fence(x):
         return float(jnp.asarray(x).reshape(-1)[0])
@@ -359,7 +380,6 @@ def _run_xla_rate(mode: str) -> float:
     _fence(fn(src))
     chain(4)
     slopes = sorted((chain(12) - chain(4)) / 8 for _ in range(5))
-    total_bytes = 2 * D1 * H1 * W1 * 4        # read + write
     return max(slopes[len(slopes) // 2], 1e-15) / total_bytes
 
 
