@@ -222,7 +222,14 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
         cam_pp, proj_pp = cam, proj
 
         def stage_op(c, p):
-            return chunk_state(c, p, 0, chunk, model.config).s
+            # Return the FULL head state: a stage's consumer (the next
+            # stage's merge) reads all four maps, and returning only one
+            # lets XLA dead-code-eliminate the others' tracking work —
+            # the same elision class as the adapter's old grad-of-sum
+            # protocol (this report printed a nonsense 117-120%
+            # "achieved" in BENCH r4/r5 until round 5 fixed it).
+            st = chunk_state(c, p, 0, chunk, model.config)
+            return st.m, st.am, st.s, st.t
 
         stage_op = jax.jit(stage_op)
         t_stage = _time(stage_op, cam_pp, proj_pp, n1=8, n2=32)
