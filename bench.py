@@ -585,8 +585,20 @@ def main() -> None:
 
     use_pallas = backend.startswith("pallas")
     if use_pallas:
+        # The inference volume surface: the raw padded-HDW kernel at its
+        # default (VMEM-gated, dt=16 at KITTI) tiles.  The DIFFERENTIABLE
+        # op pins dt=8 — its padded output doubles as the backward's
+        # residual/cotangent layout and the protocol measured faster
+        # that way (scripts/sweep15_vjp_dt.py) — so the fwd and fwd+bwd
+        # lines below legitimately run different forward tiles.
+        from custereomatching_tpu.ops.pallas_zncc import (
+            EPSILON as _EPS,
+            pallas_cost_volume_banded_hdw,
+        )
+
         fwd_hdw = jax.jit(
-            lambda c, p: stereo_matching_pallas_hdw(c, p, D, K))
+            lambda c, p: pallas_cost_volume_banded_hdw(
+                c, p, D, K, _EPS, 48, None, False, True))
 
         def fwd_bwd_hdw(cam, proj):
             # The reference's protocol: backward with an all-ones
@@ -662,8 +674,20 @@ def main() -> None:
                 rates)["bound_s"]
             b_tbwd = kernel_bound(fused_backward_c_cost(H, W, D, K, 48),
                                   rates)["bound_s"]
-            b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
+            # Two volume-forward bounds since round 5 (sweep14/15): the
+            # inference surface ships the VMEM-gated tiles (dt=16 at
+            # KITTI, 1.87 vs 1.97 ms) and prices at them; the trainable
+            # hdw op pins (48, 8) — its padded output doubles as the
+            # backward's residual/cotangent layout, where dt=16's extra
+            # planes cost more than the forward saves.
+            from custereomatching_tpu.ops.pallas_zncc import (
+                _vjp_fwd_blocks)
+
+            hbf, dtf = _vjp_fwd_blocks(H, W, D, K)
+            b_vfwd = kernel_bound(volume_forward_cost(H, W, D, K, hbf, dtf),
                                   rates)["bound_s"]
+            b_vfwd8 = kernel_bound(volume_forward_cost(H, W, D, K, 48, 8),
+                                   rates)["bound_s"]
             # hb=96 since round 5: the camera with-cost backward measured
             # 2.55 vs 2.72 ms at hb=48 (sweep12, interleaved same-window,
             # reproduced twice) and sits AT its recomputed bound.
@@ -692,9 +716,19 @@ def main() -> None:
             b_pfwd = b_vfwd + b_t3d
             from custereomatching_tpu.ops.pallas_zncc import _round_up
 
-            n_pl = -(-(D + 1) // 8) * 8
-            pad_vol_w = (_round_up(H, 48) * n_pl
-                         * _round_up(max(W, 128), 128) * 4)
+            # Padded plane counts of the SHIPPED forwards: the parity
+            # op's forward runs the gated tiles (dt=16 at KITTI -> 208
+            # planes), the trainable hdw op pins dt=8 (200 planes); each
+            # protocol's cotangent volume is built at its forward's
+            # padded shape, so the write legs price those extents.
+            def _planes(dtv):
+                n_dv = -(-(D + 1) // dtv)
+                dtv = _round_up(-(-(D + 1) // n_dv), 8)
+                return -(-(D + 1) // dtv) * dtv
+
+            wo4 = _round_up(max(W, 128), 128) * 4
+            pad_vol_w = _round_up(H, hbf) * _planes(dtf) * wo4
+            pad_vol_w8 = _round_up(H, 48) * _planes(8) * wo4
             # Write-only bytes: this protocol's cotangent is all-ones,
             # whose transpose XLA folds to a broadcast — the restage
             # reads no volume.  A REAL cotangent adds the read leg
@@ -705,8 +739,8 @@ def main() -> None:
             # The HDW-volume fwd+bwd protocol materializes the masked
             # all-ones cotangent volume directly in the kernel layout —
             # price its HBM write so achieved % compares like with like.
-            b_ones = pad_vol_w * rates.get("hbm_w3d", 0.0)
-            b_vfb = b_vfwd + b_vbwd + b_ones
+            b_ones = pad_vol_w8 * rates.get("hbm_w3d", 0.0)
+            b_vfb = b_vfwd8 + b_vbwd + b_ones
             print(
                 "[bench] calibrated rooflines (microbenchmarked op rates, "
                 "utils/kernel_model.py): "

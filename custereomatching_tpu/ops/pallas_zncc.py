@@ -298,7 +298,7 @@ def pallas_cost_volume_banded_hdw(
     kernel_size: int = 15,
     epsilon: float = EPSILON,
     block_rows: int = 48,
-    block_disparities: int = 8,
+    block_disparities: Optional[int] = None,
     interpret: bool = False,
     padded: bool = False,
 ) -> jax.Array:
@@ -318,7 +318,10 @@ def pallas_cost_volume_banded_hdw(
         DMA).
       block_disparities: max disparity planes per grid step (VMEM-bound:
         the double-buffered output tile is
-        ``2 · block_rows · dt · round_up(W,128) · 4`` bytes).
+        ``2 · block_rows · dt · round_up(W,128) · 4`` bytes).  ``None``
+        (the default) picks 16 where the VMEM gate admits it — measured
+        5% faster than 8 at KITTI shape (scripts/sweep14_volfwd_tiles.py)
+        — and 8 otherwise.
       interpret: run the kernel in interpreter mode (CPU testing).
 
     Returns:
@@ -347,6 +350,8 @@ def pallas_cost_volume_banded_hdw(
     k = int(kernel_size)
     p = k // 2
     hb = _round_up(int(block_rows), 8)
+    if block_disparities is None:
+        block_disparities = _vjp_fwd_blocks(H, W, D, k)[1]
 
     # Split D+1 planes into n_d tiles of dt (dt a multiple of 8 so the
     # output block shape stays sublane-aligned).
@@ -380,13 +385,13 @@ def pallas_cost_volume_banded_hdw(
         hb=hb, dt=dt, wo=wo, wcc=wcc, pw=pw, syw=syw, lp=lp,
         n_last=(D + 1) - (n_d - 1) * dt)
 
-    # NOTE: unlike the trainable forward (pallas_pipeline.py), the plane
-    # dim is NOT rounded up to a multiple of 16 here.  The direct-DMA
-    # backwards stream TWO volume-sized tiles (cotangent + cost), so a
-    # dt=16 double-buffered pair exceeds the ~16 MB VMEM at any useful
-    # block_rows; dt=8 with a taller row tile is the better trade, and
-    # 16-aligned planes with dt=8 would put unwritten planes into a
-    # live backward tile (the with-cost guard rejects that).
+    # NOTE: the forward's dt is free (the differentiable ops ship dt=16 —
+    # sweep14 measured it 5% faster than dt=8 at KITTI shape), but the
+    # direct-DMA backwards keep dt=8: they stream TWO volume-sized tiles
+    # (cotangent + cost), so a dt=16 double-buffered pair exceeds the
+    # ~16 MB VMEM at any useful block_rows.  The backwards derive their
+    # tile count from D (not from this volume's plane count) and skip the
+    # padded tail [D+1, n_d·dt) entirely, so the two tilings decouple.
     vol_planes = n_d * dt
 
     out = pl.pallas_call(
@@ -446,12 +451,49 @@ def pallas_cost_volume_banded(
 # Differentiable public op (Pallas forward, analytic closed-form backward)
 # ---------------------------------------------------------------------------
 
+def _vjp_fwd_blocks(H: int, W: int, D: int, k: int) -> tuple:
+    """Default forward tiles: the raw HDW kernel's ``None`` tile gate
+    and the parity vjp ops' forward choice.
+
+    (48, 16) measured 5% faster than (48, 8) at KITTI shape
+    (scripts/sweep14_volfwd_tiles.py, interleaved same-window protocol),
+    so ship it wherever the kernel's VMEM residents fit; fall back to
+    (48, 8) otherwise.  The trainable HDW op (_pallas_stereo_hdw) pins
+    (48, 8) instead — its padded output doubles as the backward's
+    residual/cotangent layout, and end-to-end the extra planes cost
+    more than the forward saves (scripts/sweep15_vjp_dt.py).
+    The estimate mirrors _banded_kernel's actual
+    scratch (bands + stats + the 2-slot plane staging) plus a
+    dt-independent Mosaic-stack allowance — the plane loop round-trips
+    its accumulators through scratch refs, so the stack does NOT grow
+    with dt (unlike ops.tuning's deliberately conservative lattice
+    filter).  Calibrated against the measured compile outcomes at KITTI
+    width: (48, 16) and (48, 24) compile, (96, 8) does not.
+    """
+    p = k // 2
+    wo = _round_up(max(W, 128), 128)
+    wcc = _round_up(wo + 2 * p, 128)
+    for hb, dt in ((48, 16), (48, 8)):
+        n_d = -(-(D + 1) // dt)
+        dtr = _round_up(-(-(D + 1) // n_d), 8)
+        lp = _round_up(max(D + 1, n_d * dtr), 128)
+        syw = wcc + lp
+        pw = _round_up(syw + 2 * p, 128)
+        band_rows = _round_up(hb + 2 * p, 8)
+        elems = (band_rows * (wcc + pw) + 2 * hb * (wo + syw)
+                 + 2 * hb * dtr * wo + 1.2 * band_rows * wcc)
+        if 4.0 * elems <= 13.5e6:
+            return hb, dt
+    return 48, 8
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _pallas_stereo(camera, projector, num_disparities, kernel_size,
                    epsilon, interpret):
+    hb, dt = _vjp_fwd_blocks(*camera.shape, num_disparities, kernel_size)
     return pallas_cost_volume_banded(
         camera, projector, num_disparities, kernel_size, epsilon,
-        interpret=interpret)
+        block_rows=hb, block_disparities=dt, interpret=interpret)
 
 
 def _pallas_stereo_fwd(camera, projector, num_disparities, kernel_size,
@@ -465,10 +507,11 @@ def _pallas_stereo_fwd(camera, projector, num_disparities, kernel_size,
     # the inputs-only rows-major staging and 9.70 for an inputs-only
     # plane-major recompute (the cost residual, not the cotangent
     # layout, is what pays here; see docs/PARITY.md).
+    H, W = camera.shape
+    hb, dt = _vjp_fwd_blocks(H, W, num_disparities, kernel_size)
     vol = pallas_cost_volume_banded_hdw(
         camera, projector, num_disparities, kernel_size, epsilon,
-        48, 8, interpret, True)
-    H, W = camera.shape
+        hb, dt, interpret, True)
     cost = jnp.transpose(vol[:num_disparities + 1, :H, :W], (1, 2, 0))
     return cost, (camera, projector, vol)
 
@@ -496,6 +539,16 @@ _pallas_stereo.defvjp(_pallas_stereo_fwd, _pallas_stereo_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _pallas_stereo_hdw(camera, projector, num_disparities, kernel_size,
                        epsilon, interpret):
+    # (48, 8) forward tiles — NOT the dt=16 that wins the standalone
+    # forward (sweep14: 1.87 vs 1.97 ms).  This op's padded output IS
+    # its training protocol's residual and cotangent layout, and dt=16
+    # grows it 200 -> 208 planes at KITTI: the masked-ones cotangent
+    # build and the bigger buffers cost more than the forward saves —
+    # fwd+bwd measured 5.17 (dt16) vs 5.11 ms (dt8), interleaved
+    # same-window (scripts/sweep15_vjp_dt.py).  The primal must match
+    # the vjp fwd rule's output shape, so the choice is op-wide; the
+    # inference-surface kernel (pallas_cost_volume_banded_hdw) defaults
+    # to the gated dt=16 instead.
     return pallas_cost_volume_banded_hdw(
         camera, projector, num_disparities, kernel_size, epsilon,
         48, 8, interpret, True)
@@ -534,6 +587,8 @@ _pallas_stereo_hdw.defvjp(_pallas_stereo_hdw_fwd, _pallas_stereo_hdw_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _pallas_stereo_hdw_both(camera, projector, num_disparities, kernel_size,
                             epsilon, interpret):
+    # (48, 8) forward tiles — see _pallas_stereo_hdw (sweep15: the
+    # protocol, not the forward alone, picks the tile here).
     return pallas_cost_volume_banded_hdw(
         camera, projector, num_disparities, kernel_size, epsilon,
         48, 8, interpret, True)
@@ -579,10 +634,11 @@ def _pallas_stereo_both_fwd(camera, projector, num_disparities, kernel_size,
     # Produce the padded (plane-major) volume once; the parity layout is
     # its (explicitly priced) transpose adapter, and the padded volume
     # doubles as the cost residual for BOTH backward kernels.
+    H, W = camera.shape
+    hb, dt = _vjp_fwd_blocks(H, W, num_disparities, kernel_size)
     vol = pallas_cost_volume_banded_hdw(
         camera, projector, num_disparities, kernel_size, epsilon,
-        48, 8, interpret, True)
-    H, W = camera.shape
+        hb, dt, interpret, True)
     cost = jnp.transpose(vol[:num_disparities + 1, :H, :W], (1, 2, 0))
     return cost, (camera, projector, vol)
 

@@ -550,14 +550,24 @@ def pallas_camera_grad_banded_hdw(
         raise ValueError(
             f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
             f"expected {wo}")
-    # dt must evenly divide the padded plane count (DMA slices may not
-    # overrun the source); pick the largest multiple of 8 within budget.
+    # The backward processes ceil((D+1)/dt) tiles — only the REAL planes
+    # plus the last tile's skipped tail (n_last) — regardless of how many
+    # padding planes the producer's own tiling appended (e.g. a dt=16
+    # forward writes 208 planes at D=192 where this dt=8 backward reads
+    # 200): padding planes carry zero cotangent by contract, so skipping
+    # them is exact, and the skipped tail is never computed with, so
+    # garbage there (even NaN) is harmless.  DMA slices may not overrun
+    # the source, so the processed extent must fit inside it.
     dtb = _round_up(int(block_disparities), 8)
     dt = 8
     for cand in range(8, dtb + 1, 8):
-        if n_planes % cand == 0:
+        if -(-(D + 1) // cand) * cand <= n_planes:
             dt = cand
-    n_d = n_planes // dt
+    n_d = -(-(D + 1) // dt)
+    if n_d * dt > n_planes:
+        raise ValueError(
+            f"padded cotangent has {n_planes} planes < the backward's "
+            f"processed extent {n_d * dt} (D+1 = {D + 1} at dt = {dt})")
 
     return _run_bwd(camera, projector, padded_hdw_grad, D, k, epsilon,
                     hb, dt, n_d, interpret, direct_g=True)
@@ -803,17 +813,20 @@ def pallas_projector_grad_banded_hdw_with_cost(
         raise ValueError(
             f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
             f"expected {wo}")
+    # Process only ceil((D+1)/dt) tiles (see
+    # pallas_camera_grad_banded_hdw): padding planes beyond the last
+    # tile's skipped tail are never touched, so the producer's disparity
+    # tiling (and hence its plane-padding) is free to differ.
     dtb = _round_up(int(block_disparities), 8)
     dt = 8
     for cand in range(8, dtb + 1, 8):
-        if n_planes % cand == 0:
+        if -(-(D + 1) // cand) * cand <= n_planes:
             dt = cand
-    n_d = n_planes // dt
-    if n_planes - (D + 1) >= dt:
+    n_d = -(-(D + 1) // dt)
+    if n_d * dt > n_planes:
         raise ValueError(
-            f"cost volume has {n_planes - (D + 1)} unwritten padding "
-            f"planes but the backward's disparity tile is {dt}; produce "
-            f"the volume and cotangent with the same tiling")
+            f"padded cotangent has {n_planes} planes < the backward's "
+            f"processed extent {n_d * dt} (D+1 = {D + 1} at dt = {dt})")
 
     hbe = hb + 2 * p
     # No row tile may straddle the volume's padded extent (clamped DMA
@@ -963,25 +976,24 @@ def pallas_camera_grad_banded_hdw_with_cost(
         raise ValueError(
             f"padded cotangent lane width {padded_hdw_grad.shape[2]} != "
             f"expected {wo}")
+    # Process only ceil((D+1)/dt) tiles.  The forward never computes
+    # planes >= D+1 (they hold garbage — possibly NaN when uninitialized),
+    # and this backward skips exactly those planes: they land either in
+    # the last processed tile's n_last tail (DMA'd but never computed
+    # with) or beyond the processed extent entirely.  The producer's own
+    # disparity tiling (and hence its plane-padding, e.g. 208 planes from
+    # a dt=16 forward at D=192) is therefore free to differ from the
+    # backward's.
     dtb = _round_up(int(block_disparities), 8)
     dt = 8
     for cand in range(8, dtb + 1, 8):
-        if n_planes % cand == 0:
+        if -(-(D + 1) // cand) * cand <= n_planes:
             dt = cand
-    n_d = n_planes // dt
-    if n_planes - (D + 1) >= dt:
-        # The forward never writes planes >= D+1; the backward only skips
-        # planes of the LAST disparity tile, so an unwritten plane landing
-        # in an earlier (fully processed) tile would feed
-        # 0·uninitialized = NaN into the camera gradient.  This can only
-        # happen when the volume was produced with a different disparity
-        # tiling than the cotangent's.
+    n_d = -(-(D + 1) // dt)
+    if n_d * dt > n_planes:
         raise ValueError(
-            f"cost volume has {n_planes - (D + 1)} unwritten padding "
-            f"planes but the backward's disparity tile is {dt}; the "
-            f"padded tail must fit inside the (skipped) last tile. "
-            f"Produce the volume and cotangent with the same tiling, or "
-            f"raise block_disparities.")
+            f"padded cotangent has {n_planes} planes < the backward's "
+            f"processed extent {n_d * dt} (D+1 = {D + 1} at dt = {dt})")
 
     return _run_bwd(camera, projector, padded_hdw_grad, D, k, epsilon,
                     hb, dt, n_d, interpret, direct_g=True,

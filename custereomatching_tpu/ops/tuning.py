@@ -139,7 +139,13 @@ def _volume_vmem(H, W, D, k, hb, dt) -> float:
     band_rows = _round_up(hb + 2 * p, 8)
     scratch = (band_rows * (wcc + pw) + 2 * hb * wo + 2 * hb * syw)
     outs = 2 * hb * dt * wo                      # double-buffered volume
-    stack = dt * 1.2 * band_rows * wcc
+    # The plane loop round-trips its live values through the staging
+    # slots (counted in `outs`), so the Mosaic stack does NOT grow with
+    # dt — a dt-scaled term wrongly filtered the measured-best KITTI
+    # tile (48, 16) out of the lattice (sweep14, round 5).  Candidates
+    # the estimate admits but Mosaic rejects are skipped at compile time
+    # by _tune, so the filter only needs to be roughly right.
+    stack = 1.2 * band_rows * wcc
     return 4.0 * (scratch + outs + stack)
 
 

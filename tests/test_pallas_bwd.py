@@ -194,6 +194,41 @@ def test_hdw_with_cost_padding_garbage():
     assert np.all(diff[:H - reach, :W - reach] == 0.0)
 
 
+def test_hdw_with_cost_decoupled_producer_tiling():
+    """Round 5: the with-cost backward derives its disparity-tile count
+    from D (``ceil((D+1)/dt)`` tiles), not from the source volume's plane
+    count, so a producer with a WIDER plane padding feeds it exactly.
+    D=16 with a dt=16 forward declares 32 planes; the dt=8 backward
+    processes 24 — planes [17, 24) are DMA'd but skipped (n_last tail),
+    planes [24, 32) never touched.  Poison both regions with NaN: none
+    of it may leak into the gradient."""
+    from custereomatching_tpu.ops.pallas_zncc import (
+        pallas_cost_volume_banded_hdw)
+    from custereomatching_tpu.ops.pallas_zncc_bwd import (
+        pallas_camera_grad_banded_hdw_with_cost)
+
+    H, W, D, K = 24, 140, 16, 5
+    rng = np.random.default_rng(23)
+    cam, proj = _pair(rng, H, W)
+    vol = pallas_cost_volume_banded_hdw(cam, proj, D, K, 1e-8, 8, 16,
+                                        True, True)
+    assert vol.shape[0] == 32   # dt=16 producer: 17 planes declared as 32
+
+    g = rng.standard_normal((D + 1, H, W)).astype(np.float32)
+    gp = np.zeros(vol.shape, np.float32)
+    gp[:D + 1, :H, :W] = g
+    poisoned = np.asarray(vol).copy()
+    poisoned[D + 1:] = np.nan
+
+    got = np.asarray(pallas_camera_grad_banded_hdw_with_cost(
+        cam, proj, jnp.asarray(poisoned), jnp.asarray(gp), D, K, 1e-8,
+        8, 8, True))
+    want = np.asarray(zncc_camera_grad(
+        cam, proj, jnp.asarray(np.transpose(g, (1, 2, 0))), D, K))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_bwd_c_rejects_non_multiple_planes():
     """A residual volume whose plane count no disparity tile divides must
     fail loudly (ADVICE r3): silent ``n_planes // dt`` truncation would
