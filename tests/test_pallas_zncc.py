@@ -149,3 +149,33 @@ def test_model_disparity_maps_backends_agree():
     np.testing.assert_allclose(np.asarray(got.soft_disparity),
                                np.asarray(want.soft_disparity),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_default_tile_gate_and_none_blocks():
+    """Round 5: the raw HDW kernel's default ``block_disparities=None``
+    resolves through the VMEM gate (_vjp_fwd_blocks) — dt=16 where the
+    kernel's residents fit, dt=8 otherwise — and the padded output's
+    plane count follows the gated choice."""
+    from custereomatching_tpu.ops.pallas_zncc import (
+        _vjp_fwd_blocks,
+        pallas_cost_volume_banded_hdw,
+    )
+
+    # KITTI and the reference's verify shape admit dt=16; a 2048-wide
+    # D=256 volume does not (its double-buffered staging alone would
+    # blow the scoped VMEM).
+    assert _vjp_fwd_blocks(375, 1242, 192, 15) == (48, 16)
+    assert _vjp_fwd_blocks(330, 422, 200, 15) == (48, 16)
+    assert _vjp_fwd_blocks(1024, 2048, 256, 15) == (48, 8)
+
+    H, W, D, K = 24, 140, 16, 5
+    rng = np.random.default_rng(31)
+    cam, proj = _pair(rng, H, W)
+    vol = pallas_cost_volume_banded_hdw(cam, proj, D, K, 1e-8, 8, None,
+                                        True, True)
+    assert vol.shape[0] == 32   # gated dt=16 declares ceil(17/16)*16
+    want = zncc_cost_volume(cam, proj, D, K)
+    got = jnp.swapaxes(vol[:D + 1, :H, :W], 0, 1)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.swapaxes(want, 1, 2)),
+                               rtol=1e-5, atol=1e-5)
