@@ -160,8 +160,12 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
         return jnp.sum(ap_op(c, p))
 
     ap_fwd_bwd = jax.jit(jax.grad(ap_loss))
-    t_ap = _time(ap_op, cam_r, proj_r, n1=4, n2=16)
-    t_ap_fb = _time(ap_fwd_bwd, cam_r, proj_r, n1=4, n2=16)
+    # (8, 40): the backward-alone number below is a DIFFERENCE of two
+    # slopes, so each needs a chain delta well above the tunnel's noise
+    # floor — at (4, 16) the 0.6 ms backward leg rode on ~7 ms of delta
+    # and read bimodally (0.58 vs 0.70 ms across BENCH r4/r5 runs).
+    t_ap = _time(ap_op, cam_r, proj_r, n1=8, n2=40)
+    t_ap_fb = _time(ap_fwd_bwd, cam_r, proj_r, n1=8, n2=40)
     ap_bound = ""
     if backend.startswith("pallas"):
         try:
@@ -232,7 +236,13 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
             return st.m, st.am, st.s, st.t
 
         stage_op = jax.jit(stage_op)
-        t_stage = _time(stage_op, cam_pp, proj_pp, n1=8, n2=32)
+        # Long chains for a sub-millisecond op: at (8, 32) the chain
+        # delta is ~14 ms against the tunnel's ~50-80 ms roundtrip, and
+        # one relay hiccup in the short chain deflates the slope — a
+        # BENCH r5 run read 0.37 ms -> "164% achieved", a physical
+        # impossibility.  (32, 160) puts ~80 ms of real work in the
+        # delta.
+        t_stage = _time(stage_op, cam_pp, proj_pp, n1=32, n2=160)
         stage_bound = ""
         try:
             from custereomatching_tpu.utils import (
@@ -244,8 +254,11 @@ def _secondary_reports(model, backend: str, fps: float) -> None:
             r = measure_vpu_rates(measure_if_missing=False)
             if r is not None:
                 bs = kernel_bound(stage_op_cost(H, W, D, S, K), r)["bound_s"]
+                suspect = (" [SUSPECT: beats bound — window drift or "
+                           "relay hiccup; re-run]" if t_stage < 0.95 * bs
+                           else "")
                 stage_bound = (f"; bound {bs*1e3:.2f} ms -> "
-                               f"{bs/t_stage*100:.1f}% achieved")
+                               f"{bs/t_stage*100:.1f}% achieved{suspect}")
         except Exception:
             pass
         print(f"[bench] pipeline-parallel stage op (S={S}, {chunk} planes, "

@@ -367,16 +367,31 @@ def _tune(key, candidates, build, measure_top: int, probe: bool = True):
             if ref is not None:
                 probe_meta["ref_madd_ps"] = round(ref * 1e12, 4)
     best, best_t = None, float("inf")
+    failures = []
     for hb, dt in candidates[:measure_top]:
         try:
             fn, args = build(hb, dt)
             t = _slope_time(fn, args)
-        except Exception:
-            continue  # candidate does not compile (e.g. VMEM) — skip
+        except Exception as e:  # candidate does not compile (e.g. VMEM)
+            failures.append(((hb, dt),
+                             f"{type(e).__name__}: "
+                             f"{str(e).splitlines()[0][:160]}"))
+            continue
         if t < best_t:
             best, best_t = (hb, dt), t
     if best is None:
-        raise RuntimeError("no autotune candidate compiled")
+        # Every candidate "failing to compile" includes known-good
+        # defaults, so this is almost never a lattice problem: a tunnel/
+        # relay outage surfaces each remote compile as an exception too
+        # (observed live in round 5 — six candidates including the
+        # shipped (48, 8) all "failed" while the tunnel was down).
+        # Surface the evidence instead of a bare verdict.
+        detail = "; ".join(f"{c}: {m}" for c, m in failures[:3])
+        raise RuntimeError(
+            f"no autotune candidate compiled ({len(failures)} tried). "
+            f"If this list includes the shipped default tile, suspect a "
+            f"device/tunnel outage, not the candidates. First failures: "
+            f"{detail}")
     _CACHE[key] = best
     if persist:
         _store_disk_cache(dk, best, probe_meta)
